@@ -1,0 +1,186 @@
+"""Configuration schema for the TPU-native urban road filter.
+
+This mirrors the reference node's dynamic_reconfigure schema
+(reference: cfg/LidarFilters.cfg:10-86) — same parameter names (snake_case),
+defaults and ranges.  The cfg file is the source of truth for defaults
+(e.g. ``poly_s_param`` defaults to 0.7 from the cfg, not the 0.5 hardcoded in
+lidar_segmentation.cpp:20 — the cfg wins at node startup).
+
+Unlike the reference's 28 racy mutable globals (data_structures.hpp:66-88,
+written without synchronization from the reconfigure thread, main.cpp:4-34),
+the config here is one immutable, hashable dataclass.  The jitted pipeline
+treats it as a static argument: swapping config between scans re-traces
+(compilation is cached per distinct config), which is the functional
+equivalent of live reconfiguration without the data race.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Mapping
+
+__all__ = [
+    "FilterConfig",
+    "PipelineDims",
+    "PARAM_RANGES",
+]
+
+# Valid ranges, straight from cfg/LidarFilters.cfg (min, max).
+PARAM_RANGES: Mapping[str, tuple[float, float]] = {
+    "x_direction": (0, 2),
+    "interval": (0.01, 10.0),
+    "curb_height": (0.01, 0.5),
+    "curb_points": (1, 30),
+    "beam_zone": (10.0, 100.0),
+    "min_x": (-200.0, 200.0),
+    "max_x": (-200.0, 200.0),
+    "min_y": (-200.0, 200.0),
+    "max_y": (-200.0, 200.0),
+    "min_z": (-200.0, 200.0),
+    "max_z": (-200.0, 200.0),
+    "cylinder_deg_x": (0.0, 180.0),
+    "cylinder_deg_z": (0.0, 180.0),
+    "curb_slope_deg": (0.0, 180.0),
+    "kdev_param": (0.5, 5.0),
+    "kdist_param": (0.4, 10.0),
+    "dmin_param": (3, 30),
+    "poly_s_param": (0.0, 1.0),
+    "poly_z_manual": (-5.0, 5.0),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """All 28 reference parameters (cfg/LidarFilters.cfg names & defaults)."""
+
+    # Frame / topic (host-side metadata; no effect on device compute).
+    fixed_frame: str = "left_os1/os1_lidar"
+    topic_name: str = "/left_os1/os1_cloud_node/points"
+
+    # Detection method toggles (cfg:16-19).
+    x_zero_method: bool = True
+    z_zero_method: bool = True
+    star_shaped_method: bool = True
+    blind_spots: bool = True
+
+    # Blind-spot x-direction enum: 0 = both X, 1 = +X only, 2 = -X only (cfg:23-27).
+    x_direction: int = 0
+
+    # LiDAR vertical angular-resolution tolerance, degrees (cfg:30).
+    interval: float = 0.18
+
+    # Minimum curb height in metres / estimated points on a curb (cfg:33-36).
+    curb_height: float = 0.05
+    curb_points: int = 5
+
+    # Width of the examined beam zone, degrees (cfg:39).
+    beam_zone: float = 30.0
+
+    # ROI crop box (cfg:42-51).
+    min_x: float = 0.0
+    max_x: float = 30.0
+    min_y: float = -10.0
+    max_y: float = 10.0
+    min_z: float = -3.0
+    max_z: float = -1.0
+
+    # Angle thresholds: x-zero triangle angle, z-zero vector angle,
+    # star-shaped radial slope, degrees (cfg:54-60).
+    cylinder_deg_x: float = 150.0
+    cylinder_deg_z: float = 140.0
+    curb_slope_deg: float = 50.0
+
+    # Star-shaped adaptive-threshold coefficients (cfg:63-72).
+    kdev_param: float = 1.225
+    kdist_param: float = 2.0
+    starbeam_filter: bool = False
+    dmin_param: int = 10
+
+    # Polygon simplification & z handling (cfg:75-84).
+    simple_poly_allow: bool = True
+    poly_s_param: float = 0.7
+    poly_z_manual: float = -1.5
+    poly_z_avg_allow: bool = True
+
+    def __post_init__(self) -> None:
+        for name, (lo, hi) in PARAM_RANGES.items():
+            v = getattr(self, name)
+            if not (lo <= v <= hi):
+                raise ValueError(f"{name}={v} outside valid range [{lo}, {hi}]")
+        if self.min_x > self.max_x or self.min_y > self.max_y or self.min_z > self.max_z:
+            raise ValueError("ROI box is empty (min > max)")
+
+    # ---- convenience accessors using the reference's internal names ----
+    @property
+    def angle_filter1(self) -> float:  # x-zero threshold (x_zero_method.cpp:3)
+        return self.cylinder_deg_x
+
+    @property
+    def angle_filter2(self) -> float:  # z-zero threshold (z_zero_method.cpp:3)
+        return self.cylinder_deg_z
+
+    @property
+    def angle_filter3(self) -> float:  # star-shaped slope, deg (star_shaped_search.cpp:11)
+        return self.curb_slope_deg
+
+    # ---- serialization ----
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "FilterConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    def replace(self, **kw: Any) -> "FilterConfig":
+        """Hot-swap parameters between scans (dynamic_reconfigure equivalent)."""
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "FilterConfig":
+        return cls.from_dict(json.loads(s))
+
+    def config_hash(self) -> str:
+        import hashlib
+
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineDims:
+    """Static tensor dimensions of the padded device layout.
+
+    The reference allocates a fresh ``channels x piece`` Point3D matrix per
+    scan (~300 MB at 100k pts, lidar_segmentation.cpp:207).  We instead use a
+    fixed padded layout with validity masks; overflow is counted and dropped.
+    """
+
+    max_points: int = 131072  # point capacity per scan (N); inputs are padded
+    rings: int = 64  # hard channel cap (lidar_segmentation.cpp:4)
+    ring_capacity: int = 4096  # slots per ring (P)
+    beam_capacity: int = 1024  # radial slots per star-shaped beam (K)
+
+    def __post_init__(self) -> None:
+        if self.max_points <= 0 or self.ring_capacity <= 0 or self.beam_capacity <= 0:
+            raise ValueError("dims must be positive")
+
+    @classmethod
+    def for_sensor(cls, kind: str) -> "PipelineDims":
+        """Preset dims for common sensors."""
+        presets = {
+            "vlp16": cls(max_points=32768, rings=64, ring_capacity=2048, beam_capacity=256),
+            "os1-64": cls(max_points=131072, rings=64, ring_capacity=4096, beam_capacity=1024),
+            "os1-128": cls(max_points=262144, rings=64, ring_capacity=8192, beam_capacity=2048),
+            "tiny": cls(max_points=1024, rings=64, ring_capacity=256, beam_capacity=64),
+        }
+        try:
+            return presets[kind]
+        except KeyError:
+            raise ValueError(f"unknown sensor preset {kind!r}; have {sorted(presets)}")
