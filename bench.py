@@ -1,0 +1,68 @@
+"""Benchmark: batched scan throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json): >= 500 scans/sec at 64-beam, ~100k pts/scan
+on one TPU v5e chip.  vs_baseline = measured / 500.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from urban_road_filter_tpu.config import FilterConfig, PipelineDims
+    from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
+    from urban_road_filter_tpu.pipeline import pad_scan, process_batch_jit
+
+    cfg = FilterConfig()
+    # 64-beam, ~100k usable pts/scan (BASELINE.json input scale).
+    dims = PipelineDims(max_points=131072, rings=64, ring_capacity=4096,
+                        beam_capacity=1024)
+    batch = 16
+
+    scans = np.stack([
+        pad_scan(
+            make_scan(SCENES["two_curbs" if i % 2 == 0 else "blind_spot"](),
+                      n_rings=64, n_azimuth=2048, seed=i),
+            dims.max_points)
+        for i in range(batch)])
+    pts = jax.numpy.asarray(scans)
+
+    # Warm-up / compile.
+    out = process_batch_jit(pts, cfg, dims)
+    jax.block_until_ready(out)
+
+    # Timed runs.
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = process_batch_jit(pts, cfg, dims)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    scans_per_sec = batch / dt
+    p50_latency_ms = dt * 1000.0  # per-batch step latency
+
+    result = {
+        "metric": "scans_per_sec_64beam_100k",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 500.0, 3),
+        "detail": {
+            "batch": batch,
+            "step_ms": round(p50_latency_ms, 2),
+            "points_per_scan": dims.max_points,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

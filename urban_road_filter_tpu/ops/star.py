@@ -1,0 +1,117 @@
+"""Star-shaped roadside search (reference: star_shaped_search.cpp:32-181).
+
+TPU re-derivation: the reference walks each of 360 radial beams outward,
+maintaining a running mean and absolute-average-deviation of the (r, z)
+slope and marking the first point whose slope exceeds a constant OR an
+adaptive threshold, then breaking (cpp:111-151).
+
+The sequential recurrence is exactly a pair of prefix sums:
+    avg_i = (sum of valid slopes <= i) / m_i,          m_i = # valid slopes
+    dev_i = (sum_j<=i |slp_j - avg_j|) / m_i           (each term uses avg at
+                                                        its own step j)
+so the whole walk vectorizes as cumsum + first-true argmax per beam —
+no lax.scan, no sequential dependence (SURVEY.md section 7, hard part #1).
+NaN slopes (coincident radii) are excluded from the stats but still
+evaluated against the thresholds, as in the C++ (cpp:131-141).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from urban_road_filter_tpu.config import FilterConfig
+from urban_road_filter_tpu.constants import LABEL_CURB, STAR_KFI, STAR_REP, beam_tables
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
+                cfg: FilterConfig, beam_capacity: int) -> jax.Array:
+    """Returns updated per-point labels (marks LABEL_CURB at beam edges)."""
+    n = pts.shape[0]
+    k_cap = beam_capacity
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+
+    # --- polar binning (cpp:162-174): f32 r, fi; truncating sector index ---
+    r = jnp.sqrt(x * x + y * y)
+    fi = jnp.arctan2(y, x)
+    fi = jnp.where(fi < 0, fi + F32(2.0 * math.pi), fi)
+    f = jnp.clip((fi * F32(STAR_KFI)).astype(I32), 0, STAR_REP - 1)
+
+    keep = valid
+    if cfg.starbeam_filter:
+        # Rectangle filter (cpp:73-107), applied pointwise before grouping.
+        yx_t, d_t, o_t = beam_tables()
+        yx_b = jnp.asarray(yx_t)[f]
+        d_b = jnp.asarray(d_t)[f]
+        o_b = jnp.asarray(o_t)[f]
+        c = d_b * jnp.where(yx_b, y, x)
+        coord = jnp.where(yx_b, x, y)
+        keep = keep & ((c - o_b) < coord) & (coord < (c + o_b))
+
+    # --- stable scatter into (REP, K): beams accumulate in input order ---
+    iota = jnp.arange(n, dtype=I32)
+    key = jnp.where(keep, f, I32(STAR_REP)) * I32(n) + iota
+    order = jnp.argsort(key)
+    f_sorted = jnp.where(keep, f, I32(STAR_REP))[order]
+    counts_all = jnp.zeros((STAR_REP + 1,), I32).at[jnp.where(keep, f, STAR_REP)].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), I32),
+                              jnp.cumsum(counts_all)[:-1].astype(I32)])
+    pos = iota - starts[f_sorted]
+    fits = (f_sorted < STAR_REP) & (pos < k_cap)
+    dump = I32(STAR_REP * k_cap)
+    dst = jnp.where(fits, f_sorted * I32(k_cap) + pos, dump)
+
+    def scatter(vals, fill, dtype):
+        buf = jnp.full((STAR_REP * k_cap + 1,), fill, dtype)
+        return buf.at[dst].set(vals[order].astype(dtype))[:-1].reshape(STAR_REP, k_cap)
+
+    r_b = scatter(r, jnp.inf, F32)
+    z_b = scatter(z, 0.0, F32)
+    pid_b = scatter(iota, n, I32)
+    counts = jnp.minimum(counts_all[:STAR_REP], k_cap)
+
+    # --- per-beam radial sort (cpp:109); stable, invalid slots at +inf ---
+    slot = jnp.arange(k_cap)[None, :]
+    sort_key = jnp.where(slot < counts[:, None], r_b, jnp.inf)
+    perm = jnp.argsort(sort_key, axis=1)
+    r_s = jnp.take_along_axis(r_b, perm, axis=1)
+    z_s = jnp.take_along_axis(z_b, perm, axis=1)
+    pid_s = jnp.take_along_axis(pid_b, perm, axis=1)
+
+    # --- edge detection as prefix statistics (cpp:111-151) ---
+    import numpy as np
+
+    # f32(angleFilter3_f32 * (M_PI/180)): f64 product of the f32 parameter,
+    # rounded to f32 (star_shaped_search.cpp:160) — computed at trace time.
+    slope_param = F32(float(np.float32(cfg.curb_slope_deg)) * (math.pi / 180.0))
+    kdev = F32(cfg.kdev_param)
+    kdist = F32(cfg.kdist_param)
+    dmin = int(cfg.dmin_param)
+
+    dr = r_s - jnp.roll(r_s, 1, axis=1)  # bx - ax at step i
+    dz = z_s - jnp.roll(z_s, 1, axis=1)
+    slp = dz / dr
+    i_idx = slot  # walk index i == sorted slot index
+    in_walk = (i_idx >= 1) & (i_idx <= counts[:, None] - 1)
+
+    vstat = in_walk & ~jnp.isnan(slp)  # NaN slopes skip the stats update
+    m = jnp.cumsum(vstat.astype(F32), axis=1)
+    sum_slp = jnp.cumsum(jnp.where(vstat, slp, F32(0)), axis=1)
+    avg = jnp.where(m > 0, sum_slp / m, F32(0))
+    sum_dev = jnp.cumsum(jnp.where(vstat, jnp.abs(slp - avg), F32(0)), axis=1)
+    dev = jnp.where(m > 0, sum_dev / m, F32(0))
+
+    adaptive = (i_idx > dmin) & ((slp * slp - avg * avg) * kdev * (dr * kdist) > dev)
+    trigger = in_walk & ((slp > slope_param) | adaptive)
+
+    hit = jnp.any(trigger, axis=1)
+    first = jnp.argmax(trigger, axis=1)
+    hit_pid = pid_s[jnp.arange(STAR_REP), first]
+
+    marks = jnp.zeros((n + 1,), jnp.bool_).at[jnp.where(hit, hit_pid, n)].set(True)[:n]
+    return jnp.where(marks, LABEL_CURB, labels)

@@ -1,0 +1,73 @@
+"""z-zero curb detection (reference: z_zero_method.cpp:5-76).
+
+Windowed mean-vector / max-|z| stencil over the slot axis: the +-curbPoints
+sums become cumulative-sum differences, the windowed maxima a short static
+chain of shifted maximums (curb_points <= 30).  Fully vectorized over
+(rings, slots); XLA fuses the whole thing into one elementwise pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from urban_road_filter_tpu.config import FilterConfig
+from urban_road_filter_tpu.constants import LABEL_CURB
+from urban_road_filter_tpu.ops.geometry import RingLayout
+
+F32 = jnp.float32
+
+
+def z_zero(layout: RingLayout, cfg: FilterConfig) -> RingLayout:
+    cp = int(cfg.curb_points)
+    p = layout.x.shape[-1]
+    if p < 2 * cp + 1:
+        return layout
+
+    def sh(a, k):  # a[j+k]; wrap garbage masked by the j-range test below
+        return jnp.roll(a, -k, axis=-1)
+
+    x, y, z = layout.x, layout.y, layout.z
+
+    d = jnp.sqrt((sh(x, cp) - sh(x, -cp)) ** 2 + (sh(y, cp) - sh(y, -cp)) ** 2)
+
+    # Windowed sums sum_{k=j-cp}^{j-1} and sum_{k=j+1}^{j+cp} via cumsum.
+    cx = jnp.cumsum(x, axis=-1)
+    cy = jnp.cumsum(y, axis=-1)
+
+    def wsum(c, lo, hi):  # sum over [j+lo, j+hi] inclusive
+        return sh(c, hi) - jnp.where(jnp.arange(p)[None, :] + lo > 0, sh(c, lo - 1), F32(0))
+
+    fcp = F32(cp)
+    va1 = (wsum(cx, -cp, -1) - fcp * x) * (F32(1) / fcp)
+    va2 = (wsum(cy, -cp, -1) - fcp * y) * (F32(1) / fcp)
+    vb1 = (wsum(cx, 1, cp) - fcp * x) * (F32(1) / fcp)
+    vb2 = (wsum(cy, 1, cp) - fcp * y) * (F32(1) / fcp)
+
+    absz = jnp.abs(z)
+    max1 = absz
+    max2 = absz
+    for k in range(1, cp + 1):
+        max1 = jnp.maximum(max1, sh(absz, -k))
+        max2 = jnp.maximum(max2, sh(absz, k))
+
+    bracket = jnp.clip(
+        (va1 * vb1 + va2 * vb2)
+        / (jnp.sqrt(va1 * va1 + va2 * va2) * jnp.sqrt(vb1 * vb1 + vb2 * vb2)),
+        F32(-1), F32(1))
+    alpha = jnp.arccos(bracket) * F32(180.0 / math.pi)
+
+    ch = F32(cfg.curb_height)
+    cond = (
+        (d < F32(5.0))
+        & (alpha <= F32(cfg.cylinder_deg_z))
+        & ((max1 - absz >= ch) | (max2 - absz >= ch))
+        & (jnp.abs(max1 - max2) >= F32(0.05))
+    )
+    j_idx = jnp.arange(p)[None, :]
+    n = layout.counts[:, None]
+    cond = cond & (j_idx >= cp) & (j_idx <= n - 1 - cp)
+
+    label = jnp.where(cond, LABEL_CURB, layout.label)
+    return layout._replace(label=label)

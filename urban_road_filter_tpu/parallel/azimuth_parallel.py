@@ -1,0 +1,490 @@
+"""Azimuth-sharded (sequence-parallel) pipeline for single huge scans.
+
+One scan's points are partitioned into contiguous azimuth wedges, one wedge
+per device on the mesh "azimuth" axis (SURVEY.md section 2: the closest
+meaningful analogue of sequence parallelism for this workload; section 5:
+the project's ring-attention-shaped component).  Cross-wedge dependencies
+and their collectives:
+
+  * ring discovery — the greedy registration is global and input-order
+    dependent: 64 loop steps, each picking the globally-first unmatched
+    point via an all_gather of (candidate original-index, angle) pairs;
+  * per-ring max radius - pmax;
+  * x/z-zero stencils — +-curb_points windows cross wedge boundaries:
+    one ppermute halo exchange of the (rings, curb_points) edge blocks in
+    each direction, with global ring positions for the j-range gate;
+  * blind-spot flood fill — blocked[ring, start] bits psum-reduced across
+    wedges; the reach/label math then runs replicated;
+  * markers — per-bin first-nonroad / max-distance / winner reductions via
+    psum-style min/max over the wedge axis.
+
+Star-shaped beams never cross wedges: wedges are aligned to whole 1-degree
+beam sectors (requires 360 % n_wedges == 0), so the per-beam radial walk is
+wedge-local by construction.
+
+Semantics note (documented divergence): within-ring point order is
+(wedge, local input order).  For azimuth-ordered scans — what spinning
+sensors emit — this equals global input order, so stencil semantics match
+the single-device pipeline exactly on real scans.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from urban_road_filter_tpu.config import FilterConfig, PipelineDims
+from urban_road_filter_tpu.constants import (
+    CHANNELS,
+    LABEL_CURB,
+    LABEL_ROAD,
+    MIN_POINTS,
+    STAR_KFI,
+    STAR_REP,
+)
+from urban_road_filter_tpu.ops import geometry
+from urban_road_filter_tpu.ops.blind_spots import _gate, _quadrant_extremes
+from urban_road_filter_tpu.ops.markers import N_BINS
+from urban_road_filter_tpu.ops.star import star_shaped
+from urban_road_filter_tpu.ops.xzero import x_zero
+from urban_road_filter_tpu.ops.zzero import z_zero
+
+F32 = jnp.float32
+I32 = jnp.int32
+AX = "azimuth"
+_NI = 362
+_BIG = jnp.iinfo(jnp.int32).max
+
+
+def _wedge_of(alpha_a, n_wedges):
+    """Contiguous wedge in the pipeline's 2-D azimuth coordinate [0, 360]."""
+    w = jnp.floor(alpha_a * F32(n_wedges / 360.0)).astype(I32)
+    return jnp.clip(w, 0, n_wedges - 1)
+
+
+def _discover_rings_sharded(alpha, orig_idx, valid, interval: float):
+    """Global greedy ring discovery across wedges.
+
+    Exact (original input order) reformulation: each of the 64 steps picks
+    the unmatched point with the globally smallest *original* index via an
+    all_gather over the wedge axis."""
+    tol = F32(interval)
+    inf = jnp.array(jnp.inf, F32)
+    big = jnp.array(_BIG, I32)
+
+    def body(k, st):
+        angles, matched, count = st
+        unmatched = valid & ~matched
+        loc_idx = jnp.min(jnp.where(unmatched, orig_idx, big))
+        loc_a = alpha[jnp.argmax(unmatched & (orig_idx == loc_idx))]
+        all_idx = jax.lax.all_gather(loc_idx, AX)      # (D,)
+        all_a = jax.lax.all_gather(loc_a, AX)          # (D,)
+        which = jnp.argmin(all_idx)
+        has = all_idx[which] != big
+        a = all_a[which]
+        angles = angles.at[k].set(jnp.where(has, a, inf))
+        matched = matched | (has & (jnp.abs(alpha - a) <= tol))
+        return angles, matched, count + has.astype(I32)
+
+    angles0 = jnp.full((CHANNELS,), jnp.inf, F32)
+    angles, _, count = jax.lax.fori_loop(
+        0, CHANNELS, body,
+        (angles0, jnp.zeros_like(valid), jnp.asarray(0, I32)))
+    return jnp.sort(angles), count
+
+
+def _halo_exchange(layout: geometry.RingLayout, cp: int):
+    """Per-ring edge blocks to/from neighbouring wedges (one hop).
+
+    Returns (left, right) dicts of (R, cp) field blocks: `left` holds the
+    left neighbour's last cp points per ring, `right` the right neighbour's
+    first cp.  Wedges narrower than cp points/ring are unsupported (the
+    replay harness sizes wedges so this cannot happen on real scans)."""
+    d = jax.lax.axis_size(AX)
+    me = jax.lax.axis_index(AX)
+    p = layout.x.shape[1]
+    counts = layout.counts
+
+    tail_idx = jnp.clip(counts[:, None] - cp + jnp.arange(cp)[None, :], 0, p - 1)
+    tail_valid = (counts[:, None] - cp + jnp.arange(cp)[None, :]) >= 0
+
+    def fields(lay):
+        return dict(x=lay.x, y=lay.y, z=lay.z)
+
+    right_perm = [(i, (i + 1) % d) for i in range(d)]
+    left_perm = [(i, (i - 1) % d) for i in range(d)]
+
+    left, right = {}, {}
+    for name, arr in fields(layout).items():
+        tail = jnp.take_along_axis(arr, tail_idx, axis=1)
+        tail = jnp.where(tail_valid, tail, F32(0))
+        head = arr[:, :cp]
+        # left[name][r, :] = previous wedge's tail; right = next wedge's head
+        left[name] = jax.lax.ppermute(tail, AX, right_perm)
+        right[name] = jax.lax.ppermute(head, AX, left_perm)
+    left["n"] = jax.lax.ppermute(jnp.minimum(counts, cp), AX, right_perm)
+    right["n"] = jax.lax.ppermute(jnp.minimum(counts, cp), AX, left_perm)
+    # Wedge 0 has no left neighbour; the last wedge no right neighbour.
+    first, last = me == 0, me == d - 1
+    left["n"] = jnp.where(first, 0, left["n"])
+    right["n"] = jnp.where(last, 0, right["n"])
+    return left, right
+
+
+def _extend_with_halo(layout: geometry.RingLayout, left, right, cp: int):
+    """Concatenate halo columns around the local block and return an extended
+    layout plus global-coordinate count info for the stencil j-range gates."""
+    # Left halo block may hold fewer than cp valid points; right-align it so
+    # the last halo column is always adjacent to local slot 0.
+    idx = jnp.arange(cp)[None, :] + (jnp.minimum(left["n"], cp) - cp)[:, None]
+    idx_c = jnp.clip(idx, 0, cp - 1)
+
+    def lhalo(a):
+        g = jnp.take_along_axis(a, idx_c, axis=1)
+        return jnp.where(idx >= 0, g, F32(0))
+
+    ext = {}
+    for name in ("x", "y", "z"):
+        loc = getattr(layout, name)
+        ext[name] = jnp.concatenate([lhalo(left[name]), loc, right[name]], axis=1)
+    return ext
+
+
+def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
+    """Returns run(pts (N, 4)) -> dict for ONE scan sharded by azimuth.
+
+    Output labels are per original input point, replicated."""
+    n_wedges = mesh.shape[AX]
+    if 360 % n_wedges != 0:
+        raise ValueError(f"azimuth axis size {n_wedges} must divide 360 "
+                         "(star beams may not straddle wedges)")
+    n = dims.max_points
+    per_wedge = n // n_wedges
+    rep_w = STAR_REP // n_wedges
+    cp = int(cfg.curb_points)
+
+    def wedge_fn(pts_w, idx_w):
+        """Runs on one device: pts_w (per_wedge, 4) already wedge-partitioned,
+        idx_w original indices (per_wedge,)."""
+        me = jax.lax.axis_index(AX)
+        x, y, z = pts_w[:, 0], pts_w[:, 1], pts_w[:, 2]
+        valid = geometry.roi_mask(pts_w, cfg) & (idx_w >= 0)
+        piece = jax.lax.psum(jnp.sum(valid).astype(I32), AX)
+        ok = piece >= MIN_POINTS
+
+        # --- star-shaped: wedge-local (beams aligned to wedges) ---
+        labels_pt = jnp.zeros((per_wedge,), I32)
+        if cfg.star_shaped_method:
+            labels_pt = star_shaped(pts_w, valid, labels_pt, cfg,
+                                    max(dims.beam_capacity // 2, 64))
+
+        # --- global ring discovery ---
+        _, alpha_v = geometry.vertical_angles(x, y, z)
+        angles, num_rings = _discover_rings_sharded(
+            alpha_v, jnp.where(valid, idx_w, _BIG), valid, cfg.interval)
+        ring_id = geometry.assign_rings(alpha_v, valid, angles, cfg.interval)
+        d2, alpha_a = geometry.azimuth_2d(x, y)
+
+        carried = labels_pt if cfg.star_shaped_method else jnp.zeros((per_wedge,), I32)
+        layout = geometry.tensorize(x, y, z, d2, alpha_a, carried, ring_id,
+                                    dims.ring_capacity // n_wedges)
+        max_dist = jax.lax.pmax(geometry.max_distance(layout), AX)
+
+        # --- stencils with one-hop halo ---
+        if cfg.x_zero_method or cfg.z_zero_method:
+            left, right = _halo_exchange(layout, cp)
+            ext = _extend_with_halo(layout, left, right, cp)
+            counts_g = jax.lax.all_gather(layout.counts, AX)  # (D, R)
+            prefix = jnp.sum(jnp.where(
+                jnp.arange(n_wedges)[:, None] < me, counts_g, 0), axis=0)
+            total = jnp.sum(counts_g, axis=0)
+            # Extended-local coordinates: local slot s sits at ext position
+            # cp + s; its global ring position is prefix + s.
+            ext_layout = layout._replace(
+                x=ext["x"], y=ext["y"], z=ext["z"],
+                label=jnp.pad(layout.label, ((0, 0), (cp, cp))),
+                counts=layout.counts)
+            glob = _StencilFrame(prefix=prefix, total=total,
+                                 lhalo_n=jnp.minimum(left["n"], cp),
+                                 rhalo_n=jnp.minimum(right["n"], cp), cp=cp)
+            if cfg.x_zero_method:
+                ext_layout = _x_zero_halo(ext_layout, cfg, glob)
+            if cfg.z_zero_method:
+                ext_layout = _z_zero_halo(ext_layout, cfg, glob)
+            layout = layout._replace(label=ext_layout.label[:, cp:-cp])
+
+        # --- sort + blind spots (blocked bits psum-reduced) ---
+        layout = geometry.sort_by_azimuth(layout)
+        layout = _blind_spots_sharded(layout, max_dist, num_rings, cfg)
+
+        # --- markers: global reductions over wedges ---
+        markers = _markers_sharded(layout, num_rings, me)
+
+        # --- labels back to original point order (replicated) ---
+        pid = layout.pid.reshape(-1)
+        lbl = layout.label.reshape(-1)
+        ok_slot = pid >= 0
+        orig = jnp.where(ok_slot, idx_w[jnp.clip(pid, 0, per_wedge - 1)], n)
+        local_scatter = jnp.zeros((n + 1,), I32).at[orig].set(
+            jnp.where(ok_slot, lbl, 0))[:n]
+        labels_global = jax.lax.psum(local_scatter, AX)
+        gate = ok
+        return dict(
+            ok=ok, labels=jnp.where(gate, labels_global, 0),
+            num_rings=num_rings,
+            markers=jnp.where(gate, markers, jnp.zeros_like(markers)),
+            piece=piece)
+
+    spec_pts = P(AX, None)
+    spec_idx = P(AX)
+    out_spec = dict(ok=P(), labels=P(), num_rings=P(), markers=P(), piece=P())
+    sharded = shard_map(wedge_fn, mesh=mesh,
+                        in_specs=(spec_pts, spec_idx), out_specs=out_spec,
+                        check_rep=False)
+
+    @functools.partial(jax.jit,
+                       out_shardings=jax.tree_util.tree_map(
+                           lambda s: NamedSharding(mesh, s), out_spec))
+    def run(pts):
+        # Partition points into contiguous azimuth wedges (device-side
+        # pre-pass; XLA inserts the all_to_all on the resharding).
+        valid = geometry.roi_mask(pts, cfg)
+        _, alpha_a = geometry.azimuth_2d(pts[:, 0], pts[:, 1])
+        w = jnp.where(valid, _wedge_of(alpha_a, n_wedges), n_wedges)
+        iota = jnp.arange(n, dtype=I32)
+        order = jnp.argsort(w * I32(n) + iota)  # stable by input order
+        counts = jnp.zeros((n_wedges + 1,), I32).at[w].add(1)
+        starts = jnp.concatenate([jnp.zeros((1,), I32),
+                                  jnp.cumsum(counts)[:-1].astype(I32)])
+        pos = iota - starts[w[order]]
+        fits = (w[order] < n_wedges) & (pos < per_wedge)
+        dst = jnp.where(fits, w[order] * I32(per_wedge) + pos,
+                        I32(n_wedges * per_wedge))
+        pts_w = jnp.zeros((n_wedges * per_wedge + 1, 4), F32).at[dst].set(
+            pts[order])[:-1]
+        idx_w = jnp.full((n_wedges * per_wedge + 1,), -1, I32).at[dst].set(
+            order.astype(I32))[:-1]
+        pts_w = jax.lax.with_sharding_constraint(
+            pts_w, NamedSharding(mesh, P(AX, None)))
+        idx_w = jax.lax.with_sharding_constraint(
+            idx_w, NamedSharding(mesh, P(AX)))
+        return sharded(pts_w, idx_w)
+
+    return run
+
+
+class _StencilFrame:
+    """Global-coordinate bookkeeping for halo stencils."""
+
+    def __init__(self, prefix, total, lhalo_n, rhalo_n, cp):
+        self.prefix = prefix  # (R,) global position of local slot 0
+        self.total = total  # (R,) global ring point count
+        self.lhalo_n = lhalo_n  # (R,) valid points in the left halo block
+        self.rhalo_n = rhalo_n
+        self.cp = cp
+
+
+def _stencil_masks(layout, frame, p_ext):
+    """j-range gate cp <= g <= total-1-cp in global ring coordinates, plus
+    'window fully materialized locally' (halo covers it)."""
+    cp = frame.cp
+    e = jnp.arange(p_ext)[None, :]  # extended slot index; local s = e - cp
+    s = e - cp
+    g = frame.prefix[:, None] + s
+    n_local = layout.counts[:, None]
+    in_local = (s >= 0) & (s < n_local)
+    gate = (g >= cp) & (g <= frame.total[:, None] - 1 - cp)
+    # windows reach at most cp in each direction:
+    left_avail = jnp.minimum(s, cp) + frame.lhalo_n[:, None] >= 0  # always true
+    have_left = (s - cp >= 0) | (frame.lhalo_n[:, None] >= cp - jnp.clip(s, 0, cp))
+    have_right = (s + cp < n_local) | (frame.rhalo_n[:, None] >= (s + cp - n_local + 1))
+    del left_avail
+    return in_local & gate & have_left & have_right
+
+
+def _x_zero_halo(layout, cfg, frame):
+    p_ext = layout.x.shape[1]
+    base = x_zero(layout._replace(counts=jnp.full_like(layout.counts, p_ext)),
+                  cfg)
+    mask = _stencil_masks(layout, frame, p_ext)
+    cp = frame.cp
+    # x_zero marks at j + cp//2; rebuild with the global gate applied at j.
+    # Recompute cond by diffing labels, then re-gate.
+    marked = (base.label == LABEL_CURB) & (layout.label != LABEL_CURB)
+    gate_at_src = jnp.roll(mask, cp // 2, axis=1)
+    new_label = jnp.where(marked & gate_at_src, LABEL_CURB, layout.label)
+    return layout._replace(label=new_label)
+
+
+def _z_zero_halo(layout, cfg, frame):
+    p_ext = layout.x.shape[1]
+    base = z_zero(layout._replace(counts=jnp.full_like(layout.counts, p_ext)),
+                  cfg)
+    mask = _stencil_masks(layout, frame, p_ext)
+    marked = (base.label == LABEL_CURB) & (layout.label != LABEL_CURB)
+    new_label = jnp.where(marked & mask, LABEL_CURB, layout.label)
+    return layout._replace(label=new_label)
+
+
+def _blind_spots_sharded(layout, max_dist, num_rings, cfg):
+    """blind_spots with blocked bits / quadrant extremes psum-combined."""
+    from urban_road_filter_tpu.ops import blind_spots as bs
+
+    alpha, label, counts = layout.alpha, layout.label, layout.counts
+    p = alpha.shape[1]
+    slot = jnp.arange(p)[None, :]
+    slot_valid = slot < counts[:, None]
+    ring_active = (jnp.arange(CHANNELS) < num_rings)[:, None]
+
+    bz = F32(cfg.beam_zone)
+    i_f = jnp.arange(_NI, dtype=F32)
+
+    gate = jnp.zeros((_NI,), jnp.bool_)
+    if cfg.blind_spots:
+        # Local extremes -> global via pmax/pmin on the raw masked values.
+        curb = slot_valid[1] & (label[1] == LABEL_CURB)
+        a1 = alpha[1]
+        r1 = (a1 >= 0) & (a1 < 90)
+        r2 = (a1 >= 90) & (a1 < 180)
+        r3 = (a1 >= 180) & (a1 < 270)
+        r4 = ~(r1 | r2 | r3) & ~jnp.isnan(a1)
+        mx1 = jax.lax.pmax(jnp.max(jnp.where(curb & r1, a1, -jnp.inf)), AX)
+        mn2 = jax.lax.pmin(jnp.min(jnp.where(curb & r2, a1, jnp.inf)), AX)
+        mx3 = jax.lax.pmax(jnp.max(jnp.where(curb & r3, a1, -jnp.inf)), AX)
+        mn4 = jax.lax.pmin(jnp.min(jnp.where(curb & r4, a1, jnp.inf)), AX)
+        q = (jnp.where(mx1 > 0, mx1, F32(0)),
+             jnp.where(mn2 < 180, mn2, F32(180)),
+             jnp.where(mx3 > 180, mx3, F32(180)),
+             jnp.where(mn4 < 360, mn4, F32(360)))
+        gate = bs._gate(i_f, q, int(cfg.x_direction))
+
+    curb_i = (slot_valid & (label == LABEL_CURB)).astype(I32)
+    cc = jnp.concatenate([jnp.zeros((CHANNELS, 1), I32),
+                          jnp.cumsum(curb_i, axis=1)], axis=1)
+
+    deg_len = max_dist * F32(math.pi) / F32(180)
+    arc_distance = deg_len[0] * bz
+    w = (arc_distance / deg_len).at[0].set(bz)
+
+    def count_in(a_row, cc_row, lo_vec, hi_vec):
+        l = jnp.searchsorted(a_row, lo_vec, side="left")
+        r = jnp.searchsorted(a_row, hi_vec, side="right")
+        return cc_row[r] - cc_row[l]
+
+    v_count = jax.vmap(count_in)
+
+    def sweep(direction):
+        if direction > 0:
+            active = i_f <= (F32(360) - bz)
+            special = i_f == (F32(360) - bz)
+            bounds = i_f[None, :] + w[:, None]
+            lo = jnp.broadcast_to(i_f, (CHANNELS, _NI))
+            hi = jnp.where((jnp.arange(CHANNELS)[:, None] >= 1) & special[None, :],
+                           F32(360), bounds)
+        else:
+            active = (i_f >= bz) & (i_f <= F32(360))
+            special = i_f == bz
+            bounds = i_f[None, :] - w[:, None]
+            hi = jnp.broadcast_to(i_f, (CHANNELS, _NI))
+            lo = jnp.where((jnp.arange(CHANNELS)[:, None] >= 1) & special[None, :],
+                           F32(0), bounds)
+
+        blocked_local = (v_count(alpha, cc, lo, hi) > 0).astype(I32)
+        blocked = jax.lax.psum(blocked_local, AX) > 0  # << the one collective
+        ok = active & ~gate
+        not_blocked = (~(blocked & ring_active)).astype(I32)
+        reach = (jnp.cumprod(not_blocked, axis=0) > 0) & ok[None, :] & ring_active
+        cnt = jnp.concatenate([jnp.zeros((CHANNELS, 1), I32),
+                               jnp.cumsum(reach.astype(I32), axis=1)], axis=1)
+
+        a = alpha
+        a_ok = slot_valid & jnp.isfinite(a) & (a >= 0) & (a <= F32(360))
+        if direction > 0:
+            i_lo = jax.vmap(lambda b_row, a_row: jnp.searchsorted(
+                b_row, a_row, side="left"))(bounds, a)
+            i_hi = jnp.where(a_ok, jnp.clip(jnp.floor(a), 0, _NI - 1).astype(I32),
+                             I32(-1))
+        else:
+            i_lo = jnp.where(a_ok, jnp.clip(jnp.ceil(a), 0, _NI).astype(I32),
+                             I32(_NI))
+            i_hi = jax.vmap(lambda b_row, a_row: jnp.searchsorted(
+                b_row, a_row, side="right"))(bounds, a) - 1
+
+        labeled = (jnp.take_along_axis(cnt, jnp.clip(i_hi + 1, 0, _NI), axis=1)
+                   - jnp.take_along_axis(cnt, jnp.clip(i_lo, 0, _NI), axis=1)) > 0
+
+        has_sp = jnp.any(special)
+        i_sp = jnp.argmax(special)
+        reach_sp = reach[:, i_sp] & has_sp
+        k_ge1 = jnp.arange(CHANNELS)[:, None] >= 1
+        if direction > 0:
+            in_sp = (a >= i_f[i_sp]) & (a <= F32(360))
+        else:
+            in_sp = (a <= i_f[i_sp]) & (a >= F32(0))
+        return labeled | (reach_sp[:, None] & k_ge1 & a_ok & in_sp)
+
+    road = sweep(+1) | sweep(-1)
+    new_label = jnp.where(road & slot_valid & (label != LABEL_CURB),
+                          LABEL_ROAD, label)
+    return layout._replace(label=new_label)
+
+
+def _markers_sharded(layout, num_rings, me):
+    """Marker reductions with cross-wedge min/max combines."""
+    alpha, label, counts = layout.alpha, layout.label, layout.counts
+    r, p = alpha.shape
+    slot = jnp.arange(p)[None, :]
+    valid = (slot < counts[:, None]) & (jnp.arange(r)[:, None] < num_rings)
+
+    # Global scan position: ring-major, then wedge (wedges ascend in alpha),
+    # then local sorted slot.
+    counts_g = jax.lax.all_gather(counts, AX)  # (D, R)
+    d = counts_g.shape[0]
+    prefix = jnp.sum(jnp.where(jnp.arange(d)[:, None] < me, counts_g, 0), axis=0)
+    total = jnp.sum(counts_g, axis=0)
+    p_glob = jnp.max(total) + 1
+    g = (jnp.arange(r, dtype=I32)[:, None] * p_glob
+         + prefix[:, None] + slot).reshape(-1)
+
+    a_ok = valid & jnp.isfinite(alpha) & (alpha >= 0) & (alpha <= F32(360))
+    bin_flat = jnp.clip(jnp.where(a_ok, jnp.floor(alpha).astype(I32), N_BINS),
+                        0, N_BINS).reshape(-1)
+    lb = label.reshape(-1)
+    dd = layout.d2.reshape(-1)
+    okf = a_ok.reshape(-1)
+
+    nonroad = okf & (lb != LABEL_ROAD)
+    f_loc = jnp.full((N_BINS + 1,), _BIG, I32).at[
+        jnp.where(nonroad, bin_flat, N_BINS)].min(g)
+    f = jax.lax.pmin(f_loc, AX)
+
+    cand = okf & (lb == LABEL_ROAD) & (g < f[bin_flat]) & (dd > 0)
+    maxd_loc = jnp.zeros((N_BINS + 1,), F32).at[
+        jnp.where(cand, bin_flat, N_BINS)].max(dd)
+    maxd = jax.lax.pmax(maxd_loc, AX)
+
+    winner = cand & (dd == maxd[bin_flat])
+    g_loc = jnp.full((N_BINS + 1,), _BIG, I32).at[
+        jnp.where(winner, bin_flat, N_BINS)].min(g)
+    gstar = jax.lax.pmin(g_loc, AX)
+
+    # The owning wedge contributes the coordinates; the global winner is
+    # unique (g is unique), so a sum-combine broadcasts them exactly.
+    mine = winner & (g == gstar[bin_flat])
+
+    def pick(arr):
+        v = jnp.zeros((N_BINS + 1,), F32).at[
+            jnp.where(mine, bin_flat, N_BINS)].add(
+                jnp.where(mine, arr.reshape(-1), F32(0)))
+        return jax.lax.psum(v, AX)[:N_BINS]
+
+    exists = maxd[:N_BINS] > 0
+    px, py, pz = pick(layout.x), pick(layout.y), pick(layout.z)
+    red = (f[:N_BINS] != _BIG).astype(F32)
+    return jnp.stack([exists.astype(F32), px, py, pz, red,
+                      jnp.arange(N_BINS, dtype=F32)], axis=1)

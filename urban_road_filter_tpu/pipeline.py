@@ -1,0 +1,129 @@
+"""End-to-end jitted pipeline: one scan (or a batch) in, labels + markers out.
+
+Device dataflow (mirrors the reference callback Detector::filtered,
+lidar_segmentation.cpp:95-621, re-laid-out for TPU):
+
+    (N, 4) points
+      -> ROI mask                                (L2, ops.geometry.roi_mask)
+      -> star-shaped labels on raw points        (L3, ops.star)
+      -> vertical angle, ring discovery/binning  (L2, ops.geometry)
+      -> tensorize to (64, P), input order       (L2)
+      -> x-zero / z-zero stencils                (L3, ops.xzero / ops.zzero)
+      -> per-ring azimuth sort                   (L2)
+      -> blind-spot flood fill                   (L4, ops.blind_spots)
+      -> marker segment reductions               (L5, ops.markers)
+      -> per-point label scatter-back
+
+Everything is static-shaped; the config is a static (hashable) argument, so
+changing parameters re-traces — the functional analogue of
+dynamic_reconfigure.  Batch processing is vmap over the leading axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from urban_road_filter_tpu.config import FilterConfig, PipelineDims
+from urban_road_filter_tpu.constants import CHANNELS, MIN_POINTS, PROBABLY_ROAD_RING
+from urban_road_filter_tpu.ops import geometry
+from urban_road_filter_tpu.ops.blind_spots import blind_spots
+from urban_road_filter_tpu.ops.markers import marker_points
+from urban_road_filter_tpu.ops.star import star_shaped
+from urban_road_filter_tpu.ops.xzero import x_zero
+from urban_road_filter_tpu.ops.zzero import z_zero
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+class ScanResult(NamedTuple):
+    """Per-scan outputs (all fixed-shape; host slices by masks)."""
+
+    ok: jax.Array  # bool: >= 30 points in ROI (lidar_segmentation.cpp:124)
+    roi: jax.Array  # (N,) bool
+    labels: jax.Array  # (N,) int32 in {0,1,2}; 0 for non-ROI points
+    ring_id: jax.Array  # (N,) int32; CHANNELS = dropped at binning
+    num_rings: jax.Array  # int32
+    counts: jax.Array  # (CHANNELS,)
+    max_distance: jax.Array  # (CHANNELS,)
+    markers: jax.Array  # (361, 6): exists, x, y, z, red, bin
+    overflow: jax.Array  # int32: points dropped by ring-capacity
+    probably_road: jax.Array  # (N,) bool: ring #10 membership
+
+
+def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
+    """Label one padded (N, 4) scan.  Trace-time config/dims."""
+    n = pts.shape[0]
+    valid = geometry.roi_mask(pts, cfg)
+    piece = jnp.sum(valid).astype(I32)
+    ok = piece >= MIN_POINTS
+
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+
+    labels_pt = jnp.zeros((n,), I32)
+    if cfg.star_shaped_method:
+        labels_pt = star_shaped(pts, valid, labels_pt, cfg, dims.beam_capacity)
+
+    _, alpha_v = geometry.vertical_angles(x, y, z)
+    angles, num_rings = geometry.discover_rings(alpha_v, valid, cfg.interval)
+    ring_id = geometry.assign_rings(alpha_v, valid, angles, cfg.interval)
+    d2, alpha_a = geometry.azimuth_2d(x, y)
+
+    carried = labels_pt if cfg.star_shaped_method else jnp.zeros((n,), I32)
+    layout = geometry.tensorize(x, y, z, d2, alpha_a, carried, ring_id,
+                                dims.ring_capacity)
+    max_dist = geometry.max_distance(layout)
+
+    if cfg.x_zero_method:
+        layout = x_zero(layout, cfg)
+    if cfg.z_zero_method:
+        layout = z_zero(layout, cfg)
+
+    layout = geometry.sort_by_azimuth(layout)
+    layout = blind_spots(layout, max_dist, num_rings, cfg)
+    markers = marker_points(layout, num_rings)
+
+    # Scatter final labels back to input-point order (dropped points stay 0,
+    # like the reference: output clouds are built from array3D only).
+    pid = layout.pid.reshape(-1)
+    lbl = layout.label.reshape(-1)
+    ok_slot = pid >= 0
+    labels_out = jnp.zeros((n + 1,), I32).at[
+        jnp.where(ok_slot, pid, n)].set(jnp.where(ok_slot, lbl, 0))[:n]
+
+    # Gate everything on the >=30-point guard: a not-ok scan publishes nothing.
+    gate = ok
+    labels_out = jnp.where(gate, labels_out, 0)
+    markers = jnp.where(gate, markers, jnp.zeros_like(markers))
+
+    return ScanResult(
+        ok=ok, roi=valid, labels=labels_out, ring_id=ring_id,
+        num_rings=num_rings, counts=layout.counts, max_distance=max_dist,
+        markers=markers, overflow=layout.overflow,
+        probably_road=(ring_id == PROBABLY_ROAD_RING) & gate)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def process_scan_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
+    return process_scan(pts, cfg, dims)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def process_batch_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
+    """(B, N, 4) batched pipeline — the throughput path (BASELINE config #4)."""
+    return jax.vmap(lambda p: process_scan(p, cfg, dims))(pts)
+
+
+def pad_scan(points, n: int):
+    """Host helper: pad/truncate (M, 4) to (n, 4) float32; zero rows are
+    dropped by the ROI filter exactly like real missing returns."""
+    import numpy as np
+
+    pts = np.zeros((n, 4), np.float32)
+    m = min(len(points), n)
+    pts[:m, : points.shape[1]] = points[:m, :4]
+    return pts
