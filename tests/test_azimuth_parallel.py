@@ -1,0 +1,69 @@
+"""Sequence-parallel (azimuth-sharded) pipeline vs single device
+(SURVEY.md sections 2 & 5: the SP axis with ppermute halos + psum bits)."""
+
+import jax
+import numpy as np
+import pytest
+
+from urban_road_filter_tpu.config import FilterConfig, PipelineDims
+from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
+from urban_road_filter_tpu.oracle.reference import azimuth_2d as azimuth_np
+from urban_road_filter_tpu.parallel.azimuth_parallel import make_azimuth_pipeline
+from urban_road_filter_tpu.parallel.mesh import make_mesh
+from urban_road_filter_tpu.pipeline import pad_scan, process_scan_jit
+
+DIMS = PipelineDims(max_points=8192, rings=64, ring_capacity=1024,
+                    beam_capacity=256)
+
+
+def alpha_sorted(scan):
+    """Sort input by the pipeline's 2-D azimuth: makes single-device
+    within-ring input order identical to the SP wedge order (the SP mode's
+    documented spinning-sensor ordering assumption)."""
+    _, aa = azimuth_np(scan[:, 0].astype(np.float32),
+                       scan[:, 1].astype(np.float32))
+    return scan[np.argsort(np.where(np.isnan(aa), 1e30, aa), kind="stable")]
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(n_data=1, n_azimuth=8)
+
+
+@pytest.mark.parametrize("scene", ["two_curbs", "blind_spot", "flat"])
+def test_sp_matches_single_device(scene, mesh8):
+    cfg = FilterConfig()
+    scan = alpha_sorted(make_scan(SCENES[scene](), n_rings=16, n_azimuth=384,
+                                  seed=11))
+    pts = jax.numpy.asarray(pad_scan(scan, DIMS.max_points))
+    out = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
+    ref = process_scan_jit(pts, cfg, DIMS)
+
+    l_sp = np.asarray(out["labels"])
+    l_ref = np.asarray(ref.labels)
+    agree = np.mean(l_sp == l_ref)
+    # Up to a handful of flips from newY-table rounding in the halo frame.
+    assert agree >= 0.999, f"{scene}: SP label agreement {agree:.5f}"
+
+    m_sp = np.asarray(out["markers"])
+    m_ref = np.asarray(ref.markers)
+    same = np.all(np.abs(m_sp - m_ref) < 1e-4, axis=1)
+    assert np.mean(same) >= 0.97, f"{scene}: marker rows {np.mean(same):.3f}"
+
+
+def test_sp_bad_wedge_count_rejected(mesh8):
+    with pytest.raises(ValueError):
+        make_azimuth_pipeline(make_mesh(n_data=1, n_azimuth=7), FilterConfig(),
+                              DIMS)
+
+
+def test_sp_four_wedges():
+    cfg = FilterConfig()
+    mesh = make_mesh(n_data=2, n_azimuth=4)
+    scan = alpha_sorted(make_scan(SCENES["two_curbs"](), n_rings=16,
+                                  n_azimuth=384, seed=5))
+    pts = jax.numpy.asarray(pad_scan(scan, DIMS.max_points))
+    out = make_azimuth_pipeline(mesh, cfg, DIMS)(pts)
+    ref = process_scan_jit(pts, cfg, DIMS)
+    agree = np.mean(np.asarray(out["labels"]) == np.asarray(ref.labels))
+    assert agree >= 0.999

@@ -1,0 +1,143 @@
+"""Tests for PCD I/O, native runtime, replay harness, metrics
+(SURVEY.md section 4, item 5: streaming integration)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from urban_road_filter_tpu.config import FilterConfig, PipelineDims
+from urban_road_filter_tpu.io.pcd import (
+    read_pcd,
+    read_scan_sequence,
+    write_pcd,
+    write_scan_sequence,
+)
+from urban_road_filter_tpu.io.replay import ReplayHarness, scene_source
+from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
+
+DIMS = PipelineDims(max_points=8192, rings=64, ring_capacity=1024,
+                    beam_capacity=256)
+
+
+class TestPcd:
+    def test_binary_roundtrip(self, tmp_path):
+        pts = np.random.default_rng(0).normal(size=(1000, 4)).astype(np.float32)
+        p = tmp_path / "a.pcd"
+        write_pcd(p, pts, binary=True)
+        got = read_pcd(p, use_native=False)
+        np.testing.assert_array_equal(got, pts)
+
+    def test_ascii_roundtrip(self, tmp_path):
+        pts = np.random.default_rng(1).normal(size=(200, 4)).astype(np.float32)
+        p = tmp_path / "a.pcd"
+        write_pcd(p, pts, binary=False)
+        got = read_pcd(p, use_native=False)
+        np.testing.assert_allclose(got, pts, atol=1e-4)
+
+    def test_native_matches_python(self, tmp_path):
+        from urban_road_filter_tpu.runtime.native import get_lib, read_pcd_native
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        pts = np.random.default_rng(2).normal(size=(5000, 4)).astype(np.float32)
+        p = tmp_path / "a.pcd"
+        write_pcd(p, pts, binary=True)
+        np.testing.assert_array_equal(read_pcd_native(str(p)), pts)
+
+    def test_xyz_only_pcd(self, tmp_path):
+        # Hand-written 3-field PCD; intensity must be zero-filled.
+        p = tmp_path / "b.pcd"
+        with open(p, "wb") as f:
+            f.write(b"VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                    b"COUNT 1 1 1\nWIDTH 2\nHEIGHT 1\nPOINTS 2\nDATA ascii\n"
+                    b"1 2 3\n4 5 6\n")
+        got = read_pcd(p, use_native=False)
+        np.testing.assert_allclose(got, [[1, 2, 3, 0], [4, 5, 6, 0]])
+
+    def test_npz_sequence(self, tmp_path):
+        scans = [np.random.rand(100 + i, 4).astype(np.float32) for i in range(3)]
+        p = tmp_path / "seq.npz"
+        write_scan_sequence(p, scans)
+        got = list(read_scan_sequence(p))
+        assert len(got) == 3
+        for a, b in zip(got, scans):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestNativeStaging:
+    def test_stage_batch(self):
+        from urban_road_filter_tpu.runtime.native import get_lib, stage_batch_native
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        scans = [np.random.rand(50, 4).astype(np.float32),
+                 np.random.rand(20, 4).astype(np.float32)]
+        out = stage_batch_native(scans, 64)
+        assert out.shape == (2, 64, 4)
+        np.testing.assert_array_equal(out[0, :50], scans[0])
+        assert not out[1, 20:].any()
+
+
+class TestReplay:
+    def test_stream_runs_and_reports(self, tmp_path):
+        h = ReplayHarness(dims=DIMS)
+        m = h.run(scene_source("two_curbs", n_scans=4, n_rings=16,
+                               n_azimuth=256), max_scans=4)
+        s = m.summary()
+        assert s["scans"] == 4 and s["not_ok"] == 0
+        assert s["latency_ms"]["p50"] > 0
+
+    def test_outputs_have_five_topics(self):
+        got = []
+        h = ReplayHarness(dims=DIMS, on_scan=got.append)
+        h.run(scene_source("two_curbs", n_scans=1, n_rings=16, n_azimuth=256),
+              max_scans=1)
+        o = got[0]
+        assert o.ok
+        assert len(o.roi) > len(o.road) > 0
+        assert len(o.curb) > 0
+        assert o.stats.num_rings > 0
+        # marker strips assembled when >2 markers
+        assert isinstance(o.marker_strips, list)
+
+    def test_checkpoint_resume(self, tmp_path):
+        ck = str(tmp_path / "ck.json")
+        h1 = ReplayHarness(dims=DIMS, checkpoint_path=ck)
+        h1.run(scene_source("flat", n_scans=5, n_rings=16, n_azimuth=256),
+               max_scans=2)
+        state = json.load(open(ck))
+        assert state["seq"] == 2
+
+        h2 = ReplayHarness(dims=DIMS, checkpoint_path=ck)
+        seen = []
+        h2.on_scan = lambda o: seen.append(o.seq)
+        h2.run(scene_source("flat", n_scans=5, n_rings=16, n_azimuth=256),
+               max_scans=2)
+        assert seen == [2, 3]  # resumed mid-stream
+
+    def test_checkpoint_invalidated_by_config_change(self, tmp_path):
+        ck = str(tmp_path / "ck.json")
+        h1 = ReplayHarness(dims=DIMS, checkpoint_path=ck)
+        h1.run(scene_source("flat", n_scans=3, n_rings=16, n_azimuth=256),
+               max_scans=1)
+        h2 = ReplayHarness(cfg=FilterConfig(beam_zone=50.0), dims=DIMS,
+                           checkpoint_path=ck)
+        seen = []
+        h2.on_scan = lambda o: seen.append(o.seq)
+        h2.run(scene_source("flat", n_scans=3, n_rings=16, n_azimuth=256),
+               max_scans=1)
+        assert seen == [0]  # config hash mismatch -> stream restarted
+
+    def test_viz_renders(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from urban_road_filter_tpu.viz import save_scan_png
+
+        got = []
+        h = ReplayHarness(dims=DIMS, on_scan=got.append)
+        h.run(scene_source("two_curbs", n_scans=1, n_rings=16, n_azimuth=256),
+              max_scans=1)
+        out = tmp_path / "scan.png"
+        save_scan_png(got[0], str(out))
+        assert out.stat().st_size > 10000

@@ -1,0 +1,280 @@
+"""Streaming replay harness — the L0 host runtime.
+
+Replaces the reference's ROS node + rosbag flow (SURVEY.md sections 0 & 3):
+a scan source (NPZ sequence, PCD directory, or synthetic generator) is
+replayed at a configurable rate through the jitted pipeline, producing the
+same five outputs per scan (road / curb / roi / road_probably clouds +
+marker strips) as Python structures, with:
+
+  * queue-depth-1 drop semantics (matching lidar_segmentation.cpp:53) or
+    lossless mode;
+  * double-buffered host->device transfer (jax.device_put of scan t+1
+    overlaps the device step on scan t);
+  * per-scan structured stats + stream latency percentiles (utils.metrics);
+  * checkpoint/resume: stream offset + config hash persisted as JSON, so a
+    run can resume mid-sequence (SURVEY.md section 5);
+  * config hot-swap between scans (the dynamic_reconfigure equivalent).
+
+Run as a CLI:  python -m urban_road_filter_tpu.io.replay --scene two_curbs
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Iterable, Iterator, Optional
+
+import numpy as np
+
+from urban_road_filter_tpu.config import FilterConfig, PipelineDims
+from urban_road_filter_tpu.constants import LABEL_CURB, LABEL_ROAD
+from urban_road_filter_tpu.postprocess import MarkerTracker, build_line_strips, smooth_marker_flags
+from urban_road_filter_tpu.utils.metrics import ScanStats, StreamMetrics
+
+__all__ = ["ScanOutputs", "ReplayHarness", "scene_source", "npz_source", "pcd_dir_source"]
+
+
+@dataclasses.dataclass
+class ScanOutputs:
+    """The reference's five published topics, as arrays (SURVEY.md section 0)."""
+
+    seq: int
+    ok: bool
+    road: np.ndarray  # (n_road, 4) points labeled road
+    curb: np.ndarray  # (n_curb, 4)
+    roi: np.ndarray  # (n_roi, 4) all in-ROI points
+    road_probably: np.ndarray  # ring #10 dump
+    marker_strips: list  # postprocess.LineStrip
+    stats: ScanStats
+
+
+def scene_source(scene: str = "two_curbs", n_scans: int = 100,
+                 n_rings: int = 64, n_azimuth: int = 1024) -> Iterator[np.ndarray]:
+    """Synthetic endless drive: the scene jitters a little per scan."""
+    from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
+
+    spec = SCENES[scene]()
+    for i in range(n_scans):
+        yield make_scan(spec, n_rings=n_rings, n_azimuth=n_azimuth, seed=i)
+
+
+def npz_source(path: str) -> Iterator[np.ndarray]:
+    from urban_road_filter_tpu.io.pcd import read_scan_sequence
+
+    yield from read_scan_sequence(path)
+
+
+def pcd_dir_source(path: str) -> Iterator[np.ndarray]:
+    from urban_road_filter_tpu.io.pcd import read_pcd
+
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".pcd"):
+            yield read_pcd(os.path.join(path, name))
+
+
+class ReplayHarness:
+    def __init__(self, cfg: Optional[FilterConfig] = None,
+                 dims: Optional[PipelineDims] = None,
+                 rate_hz: float = 0.0,
+                 drop_when_behind: bool = True,
+                 checkpoint_path: Optional[str] = None,
+                 on_scan: Optional[Callable[[ScanOutputs], None]] = None):
+        self.cfg = cfg or FilterConfig()
+        self.dims = dims or PipelineDims()
+        self.rate_hz = rate_hz
+        self.drop_when_behind = drop_when_behind
+        self.checkpoint_path = checkpoint_path
+        self.on_scan = on_scan
+        self.metrics = StreamMetrics()
+        self.tracker = MarkerTracker()
+        self._seq = 0
+
+    # ---- checkpoint / resume ----
+    def _save_checkpoint(self) -> None:
+        if not self.checkpoint_path:
+            return
+        state = {"seq": self._seq, "config_hash": self.cfg.config_hash(),
+                 "ghostcount": self.tracker.ghostcount}
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.checkpoint_path)
+
+    def _load_checkpoint(self) -> int:
+        if not (self.checkpoint_path and os.path.exists(self.checkpoint_path)):
+            return 0
+        with open(self.checkpoint_path) as f:
+            state = json.load(f)
+        if state.get("config_hash") != self.cfg.config_hash():
+            return 0  # config changed: restart the stream
+        self.tracker.ghostcount = state.get("ghostcount", 0)
+        return int(state.get("seq", 0))
+
+    # ---- main loop ----
+    def run(self, source: Iterable[np.ndarray],
+            max_scans: Optional[int] = None) -> StreamMetrics:
+        import jax
+
+        from urban_road_filter_tpu.pipeline import pad_scan, process_scan_jit
+
+        # Warm the device transfer path: on tunneled dev backends (axon) the
+        # FIRST device->host transfer of a process can take minutes; absorb
+        # it here instead of inside the first scan's latency.
+        jax.block_until_ready(np.asarray(jax.numpy.zeros((8,), jax.numpy.int32)))
+
+        resume_at = self._load_checkpoint()
+        it = iter(source)
+        # Fast-forward a resumed stream.
+        for _ in range(resume_at):
+            next(it, None)
+        self._seq = resume_at
+
+        period = 1.0 / self.rate_hz if self.rate_hz > 0 else 0.0
+        self.metrics.start()
+        next_deadline = time.perf_counter()
+
+        # Double buffering: device_put scan t+1 while scan t computes.
+        pending = None  # (host_scan, device_scan)
+        raw = next(it, None)
+        if raw is not None:
+            pending = (raw, jax.device_put(
+                jax.numpy.asarray(pad_scan(raw, self.dims.max_points))))
+
+        done = 0
+        while pending is not None and (max_scans is None or done < max_scans):
+            raw, dev = pending
+            t0 = time.perf_counter()
+            out = process_scan_jit(dev, self.cfg, self.dims)
+
+            # Overlap: stage the next scan while the device works.
+            nxt = next(it, None)
+            pending = None if nxt is None else (nxt, jax.device_put(
+                jax.numpy.asarray(pad_scan(nxt, self.dims.max_points))))
+
+            out = jax.block_until_ready(out)
+            latency_ms = (time.perf_counter() - t0) * 1e3
+
+            outputs = self._postprocess(raw, out, latency_ms)
+            self.metrics.record(outputs.stats)
+            if self.on_scan:
+                self.on_scan(outputs)
+            self._seq += 1
+            done += 1
+            self._save_checkpoint()
+
+            if period:
+                next_deadline += period
+                lag = time.perf_counter() - next_deadline
+                if lag > 0 and self.drop_when_behind:
+                    # Behind schedule: drop staged scans (queue depth 1).
+                    n_skip = int(lag / period)
+                    for _ in range(n_skip):
+                        if pending is None:
+                            break
+                        skipped = next(it, None)
+                        pending = None if skipped is None else (
+                            skipped, jax.device_put(jax.numpy.asarray(
+                                pad_scan(skipped, self.dims.max_points))))
+                        self.metrics.record_drop()
+                        self._seq += 1
+                        next_deadline += period
+                elif lag < 0:
+                    time.sleep(-lag)
+        return self.metrics
+
+    def _postprocess(self, raw, out, latency_ms: float) -> ScanOutputs:
+        n_in = len(raw)
+        labels = np.asarray(out.labels)[:n_in]
+        roi = np.asarray(out.roi)[:n_in]
+        prob = np.asarray(out.probably_road)[:n_in]
+        pts = raw[:, :4] if raw.shape[1] >= 4 else np.concatenate(
+            [raw, np.zeros((n_in, 4 - raw.shape[1]), raw.dtype)], axis=1)
+
+        markers = np.asarray(out.markers)
+        sel = markers[:, 0] > 0
+        rows = markers[sel][:, 1:5]
+        strips = []
+        if len(rows) > 2 and bool(out.ok):
+            rows = rows.copy()
+            rows[:, 3] = smooth_marker_flags(rows[:, 3])
+            strips = self.tracker.finalize(build_line_strips(
+                rows,
+                polysimp_allow=self.cfg.simple_poly_allow,
+                polysimp=self.cfg.poly_s_param,
+                polyz=self.cfg.poly_z_manual,
+                zavg_allow=self.cfg.poly_z_avg_allow))
+
+        stats = ScanStats(
+            seq=self._seq, ok=bool(out.ok), points_in=n_in,
+            points_roi=int(roi.sum()), num_rings=int(out.num_rings),
+            road_points=int((labels == LABEL_ROAD).sum()),
+            curb_points=int((labels == LABEL_CURB).sum()),
+            marker_count=int(sel.sum()), overflow=int(out.overflow),
+            latency_ms=latency_ms)
+
+        return ScanOutputs(
+            seq=self._seq, ok=bool(out.ok),
+            road=pts[(labels == LABEL_ROAD)],
+            curb=pts[(labels == LABEL_CURB)],
+            roi=pts[roi],
+            road_probably=pts[prob],
+            marker_strips=strips, stats=stats)
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="urban_road_filter_tpu replay")
+    ap.add_argument("--scene", default="two_curbs")
+    ap.add_argument("--npz", default=None, help="NPZ scan sequence path")
+    ap.add_argument("--pcd-dir", default=None, help="directory of .pcd files")
+    ap.add_argument("--scans", type=int, default=50)
+    ap.add_argument("--rate-hz", type=float, default=0.0,
+                    help="replay rate; 0 = as fast as possible")
+    ap.add_argument("--no-drop", action="store_true",
+                    help="lossless mode instead of queue-1 drop semantics")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--config-json", default=None)
+    ap.add_argument("--stats-jsonl", default=None,
+                    help="write per-scan stats records to this file")
+    args = ap.parse_args()
+
+    cfg = FilterConfig()
+    if args.config_json:
+        with open(args.config_json) as f:
+            cfg = FilterConfig.from_json(f.read())
+
+    # Validate inputs before jax initializes (device warm-up can take
+    # minutes on tunneled backends; fail fast on user errors).
+    if args.npz:
+        if not os.path.exists(args.npz):
+            raise SystemExit(f"error: --npz file not found: {args.npz}")
+        source = npz_source(args.npz)
+    elif args.pcd_dir:
+        if not os.path.isdir(args.pcd_dir):
+            raise SystemExit(f"error: --pcd-dir not a directory: {args.pcd_dir}")
+        source = pcd_dir_source(args.pcd_dir)
+    else:
+        from urban_road_filter_tpu.io.synthetic import SCENES
+
+        if args.scene not in SCENES:
+            raise SystemExit(f"error: unknown scene {args.scene!r}; "
+                             f"have {sorted(SCENES)}")
+        source = scene_source(args.scene, n_scans=args.scans)
+
+    sink = None
+    if args.stats_jsonl:
+        fh = open(args.stats_jsonl, "a")
+        sink = lambda o: (fh.write(o.stats.to_json() + "\n"), fh.flush())
+
+    h = ReplayHarness(cfg=cfg, rate_hz=args.rate_hz,
+                      drop_when_behind=not args.no_drop,
+                      checkpoint_path=args.checkpoint, on_scan=sink)
+    metrics = h.run(source, max_scans=args.scans)
+    print(json.dumps(metrics.summary()))
+
+
+if __name__ == "__main__":
+    main()

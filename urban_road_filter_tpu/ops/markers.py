@@ -63,9 +63,9 @@ def marker_points(layout: RingLayout, num_rings: jax.Array):
     exists = maxd[:N_BINS] > 0
     gsel = jnp.where(exists, gstar[:N_BINS], 0)
     ring_sel, slot_sel = gsel // p, gsel % p
-    px = layout.x[ring_sel, slot_sel]
-    py = layout.y[ring_sel, slot_sel]
-    pz = layout.z[ring_sel, slot_sel]
+    px = jnp.where(exists, layout.x[ring_sel, slot_sel], F32(0))
+    py = jnp.where(exists, layout.y[ring_sel, slot_sel], F32(0))
+    pz = jnp.where(exists, layout.z[ring_sel, slot_sel], F32(0))
     red = (f[:N_BINS] != _BIG).astype(F32)
 
     table = jnp.stack([

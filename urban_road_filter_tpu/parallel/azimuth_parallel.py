@@ -99,59 +99,106 @@ def _discover_rings_sharded(alpha, orig_idx, valid, interval: float):
 
 
 def _halo_exchange(layout: geometry.RingLayout, cp: int):
-    """Per-ring edge blocks to/from neighbouring wedges (one hop).
+    """Per-ring halo blocks spanning ANY number of preceding/following wedges.
 
-    Returns (left, right) dicts of (R, cp) field blocks: `left` holds the
-    left neighbour's last cp points per ring, `right` the right neighbour's
-    first cp.  Wedges narrower than cp points/ring are unsupported (the
-    replay harness sizes wedges so this cannot happen on real scans)."""
+    A wedge needs the cp points immediately before/after its ring segment.
+    A neighbouring wedge may hold fewer than cp points of a ring (thin ring
+    segments, e.g. obstacle-induced extra rings), so a one-hop exchange is
+    not enough.  Key fact: walking left, a wedge with n >= cp points
+    contributes at most its LAST cp points; one with n < cp contributes all
+    n (still within its last-cp block).  So the exact left neighbourhood is
+    reconstructible from every wedge's (rings, cp) tail block — gathered
+    once (D * R * cp floats, ~tens of KB) — by concatenating tails of wedges
+    me-1, me-2, ... and keeping the last cp valid entries.  Mirror for the
+    right side with head blocks.
+
+    Returns (left, right) dicts of (R, cp) blocks: `left` right-aligned
+    (last column abuts local slot 0) with count left["n"]; `right`
+    left-aligned with count right["n"]."""
     d = jax.lax.axis_size(AX)
     me = jax.lax.axis_index(AX)
     p = layout.x.shape[1]
     counts = layout.counts
+    r = counts.shape[0]
+    k = jnp.arange(cp)[None, :]
 
-    tail_idx = jnp.clip(counts[:, None] - cp + jnp.arange(cp)[None, :], 0, p - 1)
-    tail_valid = (counts[:, None] - cp + jnp.arange(cp)[None, :]) >= 0
+    tail_idx = jnp.clip(counts[:, None] - cp + k, 0, p - 1)
+    tail_valid = (counts[:, None] - cp + k) >= 0  # right-aligned validity
+    head_valid = k < counts[:, None]  # left-aligned validity
 
-    def fields(lay):
-        return dict(x=lay.x, y=lay.y, z=lay.z)
+    fields = dict(x=layout.x, y=layout.y, z=layout.z)
+    tails, heads = {}, {}
+    for name, arr in fields.items():
+        t = jnp.where(tail_valid, jnp.take_along_axis(arr, tail_idx, axis=1), F32(0))
+        tails[name] = jax.lax.all_gather(t, AX)       # (D, R, cp)
+        heads[name] = jax.lax.all_gather(arr[:, :cp], AX)
+    tv = jax.lax.all_gather(tail_valid, AX)           # (D, R, cp)
+    hv = jax.lax.all_gather(head_valid, AX)
 
-    right_perm = [(i, (i + 1) % d) for i in range(d)]
-    left_perm = [(i, (i - 1) % d) for i in range(d)]
+    wedge_ids = jnp.arange(d)[:, None, None]
 
-    left, right = {}, {}
-    for name, arr in fields(layout).items():
-        tail = jnp.take_along_axis(arr, tail_idx, axis=1)
-        tail = jnp.where(tail_valid, tail, F32(0))
-        head = arr[:, :cp]
-        # left[name][r, :] = previous wedge's tail; right = next wedge's head
-        left[name] = jax.lax.ppermute(tail, AX, right_perm)
-        right[name] = jax.lax.ppermute(head, AX, left_perm)
-    left["n"] = jax.lax.ppermute(jnp.minimum(counts, cp), AX, right_perm)
-    right["n"] = jax.lax.ppermute(jnp.minimum(counts, cp), AX, left_perm)
-    # Wedge 0 has no left neighbour; the last wedge no right neighbour.
-    first, last = me == 0, me == d - 1
-    left["n"] = jnp.where(first, 0, left["n"])
-    right["n"] = jnp.where(last, 0, right["n"])
+    def compact(tape_valid, tape_fields, side: str):
+        """tape_*: (D, R, cp) in wedge order.  Keep only wedges on `side` of
+        me, flatten to (R, D*cp) in wedge-major order, then take the last
+        (side=left) or first (side=right) cp valid entries per ring."""
+        use = (wedge_ids < me) if side == "left" else (wedge_ids > me)
+        valid = (tape_valid & use).transpose(1, 0, 2).reshape(r, d * cp)
+        cols = jnp.arange(d * cp)[None, :]
+        order = jnp.argsort(jnp.where(valid, cols, d * cp), axis=1)
+        nv = jnp.sum(valid, axis=1).astype(I32)  # valid count per ring
+        n_out = jnp.minimum(nv, cp)
+        if side == "left":
+            # right-aligned output: column j holds valid entry nv - cp + j
+            sel = jnp.clip(nv[:, None] - cp + k, 0, d * cp - 1)
+            out_valid = (nv[:, None] - cp + k) >= 0
+        else:
+            sel = jnp.clip(k, 0, d * cp - 1)
+            out_valid = k < nv[:, None]
+        take = jnp.take_along_axis(order, sel, axis=1)
+        out = {}
+        for name, tf in tape_fields.items():
+            flat = tf.transpose(1, 0, 2).reshape(r, d * cp)
+            out[name] = jnp.where(out_valid,
+                                  jnp.take_along_axis(flat, take, axis=1), F32(0))
+        out["n"] = n_out
+        return out
+
+    left = compact(tv, tails, "left")
+    right = compact(hv, heads, "right")
     return left, right
 
 
 def _extend_with_halo(layout: geometry.RingLayout, left, right, cp: int):
-    """Concatenate halo columns around the local block and return an extended
-    layout plus global-coordinate count info for the stencil j-range gates."""
-    # Left halo block may hold fewer than cp valid points; right-align it so
-    # the last halo column is always adjacent to local slot 0.
-    idx = jnp.arange(cp)[None, :] + (jnp.minimum(left["n"], cp) - cp)[:, None]
-    idx_c = jnp.clip(idx, 0, cp - 1)
+    """Build per-ring extended rows:
+        [cp dummy | left halo (cp) | local points (P) | right halo (cp)]
+    The leading dummy block keeps left-halo stencil sources past the inner
+    x/z-zero `j >= curb_points` gate (real gating happens in global
+    coordinates here).  The right halo is scattered immediately after each
+    ring's last VALID point (column 2cp + counts[r] + k), not after the
+    padding.  Local slot s sits at extended column 2cp + s."""
+    p = layout.x.shape[1]
+    r = layout.x.shape[0]
+    p_ext = p + 3 * cp
+    counts = layout.counts
+    # Left halo: right-align so its last column abuts local slot 0.
+    lidx = jnp.arange(cp)[None, :] + (jnp.minimum(left["n"], cp) - cp)[:, None]
+    lidx_c = jnp.clip(lidx, 0, cp - 1)
 
-    def lhalo(a):
-        g = jnp.take_along_axis(a, idx_c, axis=1)
-        return jnp.where(idx >= 0, g, F32(0))
+    rows = jnp.arange(r)[:, None]
+    rcols = 2 * cp + counts[:, None] + jnp.arange(cp)[None, :]
+    rmask = (jnp.arange(cp)[None, :] < right["n"][:, None]) & (rcols < p_ext)
+    rcols_c = jnp.where(rmask, rcols, p_ext - 1)
 
     ext = {}
     for name in ("x", "y", "z"):
         loc = getattr(layout, name)
-        ext[name] = jnp.concatenate([lhalo(left[name]), loc, right[name]], axis=1)
+        lh = jnp.where(lidx >= 0,
+                       jnp.take_along_axis(left[name], lidx_c, axis=1), F32(0))
+        e = jnp.concatenate([jnp.zeros((r, cp), F32), lh, loc,
+                             jnp.zeros((r, cp), F32)], axis=1)
+        e = e.at[rows, rcols_c].set(
+            jnp.where(rmask, right[name], e[rows, rcols_c]))
+        ext[name] = e
     return ext
 
 
@@ -207,7 +254,7 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
             # cp + s; its global ring position is prefix + s.
             ext_layout = layout._replace(
                 x=ext["x"], y=ext["y"], z=ext["z"],
-                label=jnp.pad(layout.label, ((0, 0), (cp, cp))),
+                label=jnp.pad(layout.label, ((0, 0), (2 * cp, cp))),
                 counts=layout.counts)
             glob = _StencilFrame(prefix=prefix, total=total,
                                  lhalo_n=jnp.minimum(left["n"], cp),
@@ -216,7 +263,7 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
                 ext_layout = _x_zero_halo(ext_layout, cfg, glob)
             if cfg.z_zero_method:
                 ext_layout = _z_zero_halo(ext_layout, cfg, glob)
-            layout = layout._replace(label=ext_layout.label[:, cp:-cp])
+            layout = layout._replace(label=ext_layout.label[:, 2 * cp:-cp])
 
         # --- sort + blind spots (blocked bits psum-reduced) ---
         layout = geometry.sort_by_azimuth(layout)
@@ -289,43 +336,48 @@ class _StencilFrame:
         self.cp = cp
 
 
-def _stencil_masks(layout, frame, p_ext):
-    """j-range gate cp <= g <= total-1-cp in global ring coordinates, plus
-    'window fully materialized locally' (halo covers it)."""
+def _stencil_frame_arrays(layout, frame, p_ext):
+    """Shared per-extended-slot coordinates for the stencil gates."""
     cp = frame.cp
-    e = jnp.arange(p_ext)[None, :]  # extended slot index; local s = e - cp
-    s = e - cp
-    g = frame.prefix[:, None] + s
+    s = jnp.arange(p_ext)[None, :] - 2 * cp  # local slot; negative = left halo
+    g = frame.prefix[:, None] + s  # global ring position
     n_local = layout.counts[:, None]
-    in_local = (s >= 0) & (s < n_local)
-    gate = (g >= cp) & (g <= frame.total[:, None] - 1 - cp)
-    # windows reach at most cp in each direction:
-    left_avail = jnp.minimum(s, cp) + frame.lhalo_n[:, None] >= 0  # always true
-    have_left = (s - cp >= 0) | (frame.lhalo_n[:, None] >= cp - jnp.clip(s, 0, cp))
-    have_right = (s + cp < n_local) | (frame.rhalo_n[:, None] >= (s + cp - n_local + 1))
-    del left_avail
-    return in_local & gate & have_left & have_right
+    exists = (s >= -frame.lhalo_n[:, None]) & (s < n_local + frame.rhalo_n[:, None])
+    g_gate = (g >= cp) & (g <= frame.total[:, None] - 1 - cp)
+    return s, g_gate, exists, n_local
 
 
 def _x_zero_halo(layout, cfg, frame):
+    """x-zero over the extended rows.  The source j may live in the left
+    halo (its mark at p2 = j + cp//2 can land on a local point); the window
+    [j, j+cp] must be fully materialized (exists) and j must pass the
+    reference's global j-range gate."""
     p_ext = layout.x.shape[1]
+    cp = frame.cp
     base = x_zero(layout._replace(counts=jnp.full_like(layout.counts, p_ext)),
                   cfg)
-    mask = _stencil_masks(layout, frame, p_ext)
-    cp = frame.cp
-    # x_zero marks at j + cp//2; rebuild with the global gate applied at j.
-    # Recompute cond by diffing labels, then re-gate.
-    marked = (base.label == LABEL_CURB) & (layout.label != LABEL_CURB)
-    gate_at_src = jnp.roll(mask, cp // 2, axis=1)
-    new_label = jnp.where(marked & gate_at_src, LABEL_CURB, layout.label)
+    s, g_gate, exists, n_local = _stencil_frame_arrays(layout, frame, p_ext)
+    src_ok = (g_gate & exists & jnp.roll(exists, -cp, axis=1)
+              & (s + 2 * cp < p_ext))  # no roll-wrap at the row end
+    mark_new = (base.label == LABEL_CURB) & (layout.label != LABEL_CURB)
+    src_gate_at_mark = jnp.roll(src_ok, cp // 2, axis=1)
+    mark_local = (s >= 0) & (s < n_local)  # p2 must be a local point
+    new_label = jnp.where(mark_new & src_gate_at_mark & mark_local,
+                          LABEL_CURB, layout.label)
     return layout._replace(label=new_label)
 
 
 def _z_zero_halo(layout, cfg, frame):
+    """z-zero over the extended rows; marks land on j itself (local only),
+    window [j-cp, j+cp] must be materialized."""
     p_ext = layout.x.shape[1]
+    cp = frame.cp
     base = z_zero(layout._replace(counts=jnp.full_like(layout.counts, p_ext)),
                   cfg)
-    mask = _stencil_masks(layout, frame, p_ext)
+    s, g_gate, exists, n_local = _stencil_frame_arrays(layout, frame, p_ext)
+    window_ok = (jnp.roll(exists, cp, axis=1) & jnp.roll(exists, -cp, axis=1)
+                 & (s + 2 * cp < p_ext))
+    mask = (s >= 0) & (s < n_local) & g_gate & window_ok
     marked = (base.label == LABEL_CURB) & (layout.label != LABEL_CURB)
     new_label = jnp.where(marked & mask, LABEL_CURB, layout.label)
     return layout._replace(label=new_label)

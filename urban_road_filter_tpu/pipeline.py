@@ -97,7 +97,8 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
 
     # Gate everything on the >=30-point guard: a not-ok scan publishes nothing.
     gate = ok
-    labels_out = jnp.where(gate, labels_out, 0)
+    # int8 labels: 4x smaller D2H for the streaming path (values are {0,1,2}).
+    labels_out = jnp.where(gate, labels_out, 0).astype(jnp.int8)
     markers = jnp.where(gate, markers, jnp.zeros_like(markers))
 
     return ScanResult(

@@ -1,0 +1,78 @@
+"""Structured per-scan metrics and counters.
+
+The reference's observability is ROS_INFO + rviz (SURVEY.md section 5).
+Here every scan produces a structured stats record, and the stream keeps
+latency/throughput aggregates (the BASELINE metrics) plus drop counters —
+the reference silently drops scans via its queue-1 subscription
+(lidar_segmentation.cpp:53); we surface the same behavior as a number.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ScanStats:
+    seq: int
+    ok: bool
+    points_in: int
+    points_roi: int
+    num_rings: int
+    road_points: int
+    curb_points: int
+    marker_count: int
+    overflow: int
+    latency_ms: float
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+class StreamMetrics:
+    """Latency percentiles + throughput + drop counters over a replay run."""
+
+    def __init__(self) -> None:
+        self.latencies_ms: list[float] = []
+        self.scans = 0
+        self.dropped = 0
+        self.not_ok = 0
+        self.t_start: Optional[float] = None
+        self.t_end: Optional[float] = None
+
+    def start(self) -> None:
+        self.t_start = time.perf_counter()
+
+    def record(self, stats: ScanStats) -> None:
+        if self.t_start is None:
+            self.start()
+        self.scans += 1
+        if not stats.ok:
+            self.not_ok += 1
+        self.latencies_ms.append(stats.latency_ms)
+        self.t_end = time.perf_counter()
+
+    def record_drop(self, n: int = 1) -> None:
+        self.dropped += n
+
+    def summary(self) -> dict:
+        lat = np.asarray(self.latencies_ms) if self.latencies_ms else np.zeros(1)
+        wall = ((self.t_end or 0) - (self.t_start or 0)) or float("nan")
+        return {
+            "scans": self.scans,
+            "dropped": self.dropped,
+            "not_ok": self.not_ok,
+            "wall_s": round(wall, 3),
+            "scans_per_sec": round(self.scans / wall, 2) if wall and wall > 0 else None,
+            "latency_ms": {
+                "p50": round(float(np.percentile(lat, 50)), 3),
+                "p95": round(float(np.percentile(lat, 95)), 3),
+                "p99": round(float(np.percentile(lat, 99)), 3),
+                "mean": round(float(lat.mean()), 3),
+            },
+        }
