@@ -34,16 +34,20 @@ def main() -> None:
         for i in range(batch)])
     pts = jax.numpy.asarray(scans)
 
-    # Warm-up / compile.
+    # Warm-up: compile + the tunnel's expensive first device->host transfer.
+    np.asarray(jax.numpy.zeros((8,), jax.numpy.int32))
     out = process_batch_jit(pts, cfg, dims)
     jax.block_until_ready(out)
+    np.asarray(out.ok)
 
-    # Timed runs.
+    # Timed runs.  Sync by FETCHING a scalar result, not block_until_ready:
+    # on the experimental axon backend block_until_ready can return before
+    # the computation drains, producing phantom sub-ms timings.
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = process_batch_jit(pts, cfg, dims)
-        jax.block_until_ready(out)
+        np.asarray(out.ok)
     dt = (time.perf_counter() - t0) / iters
 
     scans_per_sec = batch / dt

@@ -10,12 +10,13 @@ stage is a pure reachability computation (SURVEY.md section 7, hard part #2):
 
     blocked[k, i] = any curb on ring k within window_k(i)
     reach[k, i]   = active(i) & ~gate(i) & AND_{m<=k} ~blocked[m, i]
-    road(point p on ring k, azimuth a) = EXISTS i: reach[k, i]
-                                          & i inside p's window bounds
+    road(point p on ring k) = EXISTS i: reach[k, i] & p in window_k(i)
 
-With per-ring window widths constant in i, the existential reduces to a
-range query over a prefix sum of reach along i — O(R * 362) searchsorted +
-cumsum work instead of the reference's O(360 * N) pointer chasing.
+TPU note: both existential quantifiers are evaluated as DENSE compare-
+reduces over the (ring, slot, start) cube — ~100M fused VPU ops per scan —
+rather than binary searches: gather-based searchsorted costs ~30x more on
+TPU than streaming compares the VPU eats for free, and XLA fuses the
+broadcast-compare into the reduction so the cube never materializes.
 
 Float semantics follow the C++: integer starts compared in f32, window
 bounds i +- w_k in f32, the `i == 360-beamZone` / `i == beamZone` exact-
@@ -37,7 +38,7 @@ from urban_road_filter_tpu.ops.geometry import RingLayout
 F32 = jnp.float32
 I32 = jnp.int32
 
-_NI = 362  # start angles 0..361 (361 used; one pad for prefix convenience)
+_NI = 362  # start angles 0..361 (361 used; one pad for convenience)
 
 
 def _quadrant_extremes(alpha1, label1, valid1):
@@ -77,6 +78,51 @@ def _gate(i_f, q, x_direction: int):
         (q3 != 180) & (i_f <= q3) & (i_f >= 90))
 
 
+def window_widths(max_dist: jax.Array, beam_zone) -> jax.Array:
+    """Equal-arc-length window width per ring, degrees
+    (blind_spots.cpp:65,142,251): w[0] = beamZone; w[k] = arcDistance /
+    (maxDist_k * pi / 180); inf where a ring is empty (harmless: no points)."""
+    bz = F32(beam_zone)
+    deg_len = max_dist * F32(math.pi) / F32(180)
+    arc_distance = deg_len[0] * bz
+    return (arc_distance / deg_len).at[0].set(bz)
+
+
+def sweep_bounds(w: jax.Array, beam_zone, direction: int):
+    """(active, lo, hi) for one sweep; lo/hi are the ACTUAL per-(ring, start)
+    inclusive window bounds, exact-equality overrides applied."""
+    bz = F32(beam_zone)
+    i_f = jnp.arange(_NI, dtype=F32)
+    k_ge1 = jnp.arange(CHANNELS)[:, None] >= 1
+    if direction > 0:
+        active = i_f <= (F32(360) - bz)
+        special = (i_f == (F32(360) - bz))[None, :] & k_ge1
+        lo = jnp.broadcast_to(i_f, (CHANNELS, _NI))
+        hi = jnp.where(special, F32(360), i_f[None, :] + w[:, None])
+    else:
+        active = (i_f >= bz) & (i_f <= F32(360))
+        special = (i_f == bz)[None, :] & k_ge1
+        hi = jnp.broadcast_to(i_f, (CHANNELS, _NI))
+        lo = jnp.where(special, F32(0), i_f[None, :] - w[:, None])
+    return active, lo, hi
+
+
+def blocked_bits(alpha, curb, lo, hi):
+    """blocked[k, i] = any curb point in [lo, hi] — dense compare-reduce.
+    alpha/curb: (R, P); lo/hi: (R, NI).  NaN alphas never block (NaN
+    compares false), matching the C++ walk stopping at NaN."""
+    a = alpha[:, :, None]  # (R, P, 1)
+    in_win = (a >= lo[:, None, :]) & (a <= hi[:, None, :])  # (R, P, NI), fused
+    return jnp.any(in_win & curb[:, :, None], axis=1)  # (R, NI)
+
+
+def labeled_mask(alpha, a_ok, reach, lo, hi):
+    """labeled[k, p] = exists i: reach[k, i] & alpha in [lo, hi] — dense."""
+    a = alpha[:, :, None]
+    in_win = (a >= lo[:, None, :]) & (a <= hi[:, None, :])
+    return jnp.any(in_win & reach[:, None, :], axis=2) & a_ok
+
+
 def blind_spots(layout: RingLayout, max_dist: jax.Array, num_rings: jax.Array,
                 cfg: FilterConfig) -> RingLayout:
     """layout must be azimuth-sorted (geometry.sort_by_azimuth)."""
@@ -86,92 +132,23 @@ def blind_spots(layout: RingLayout, max_dist: jax.Array, num_rings: jax.Array,
     slot_valid = slot < counts[:, None]
     ring_active = (jnp.arange(CHANNELS) < num_rings)[:, None]
 
-    bz = F32(cfg.beam_zone)
-    i_f = jnp.arange(_NI, dtype=F32)  # start angles as f32 (int-exact)
-
     gate = jnp.zeros((_NI,), jnp.bool_)
     if cfg.blind_spots:
         q = _quadrant_extremes(alpha[1], label[1], slot_valid[1])
-        gate = _gate(i_f, q, int(cfg.x_direction))
+        gate = _gate(jnp.arange(_NI, dtype=F32), q, int(cfg.x_direction))
 
-    # Per-ring curb prefix counts along sorted azimuth.
-    curb = (slot_valid & (label == LABEL_CURB)).astype(I32)
-    cc = jnp.concatenate([jnp.zeros((CHANNELS, 1), I32),
-                          jnp.cumsum(curb, axis=1)], axis=1)  # (R, P+1)
-
-    # Window widths: w[0] = beamZone; w[k] = arcDistance / (maxDist_k*pi/180)
-    # (blind_spots.cpp:65,142,251).
-    deg_len = max_dist * F32(math.pi) / F32(180)  # arc length of 1 degree
-    arc_distance = deg_len[0] * bz
-    w = arc_distance / deg_len  # inf where ring empty (no points -> harmless)
-    w = w.at[0].set(bz)
-
-    def count_in(a_row, cc_row, lo_vec, hi_vec):
-        l = jnp.searchsorted(a_row, lo_vec, side="left")
-        r = jnp.searchsorted(a_row, hi_vec, side="right")
-        return cc_row[r] - cc_row[l]
-
-    v_count = jax.vmap(count_in)
+    curb = slot_valid & (label == LABEL_CURB)
+    a_ok = slot_valid & jnp.isfinite(alpha) & (alpha >= 0) & (alpha <= F32(360))
+    w = window_widths(max_dist, cfg.beam_zone)
 
     def sweep(direction: int):
-        """direction +1 = forward (0 -> 360-bz), -1 = backward (360 -> bz)."""
-        if direction > 0:
-            active = i_f <= (F32(360) - bz)
-            special = i_f == (F32(360) - bz)
-            bounds = i_f[None, :] + w[:, None]          # un-overridden cd rows
-            sp_bound = F32(360)
-            lo = jnp.broadcast_to(i_f, (CHANNELS, _NI))
-            hi = jnp.where((jnp.arange(CHANNELS)[:, None] >= 1) & special[None, :],
-                           sp_bound, bounds)
-        else:
-            active = (i_f >= bz) & (i_f <= F32(360))  # loop starts at i = 360
-            special = i_f == bz
-            bounds = i_f[None, :] - w[:, None]
-            sp_bound = F32(0)
-            hi = jnp.broadcast_to(i_f, (CHANNELS, _NI))
-            lo = jnp.where((jnp.arange(CHANNELS)[:, None] >= 1) & special[None, :],
-                           sp_bound, bounds)
-
-        blocked = v_count(alpha, cc, lo, hi) > 0
+        active, lo, hi = sweep_bounds(w, cfg.beam_zone, direction)
+        blocked = blocked_bits(alpha, curb, lo, hi)
         ok = active & ~gate
         not_blocked = (~(blocked & ring_active)).astype(I32)
         reach = (jnp.cumprod(not_blocked, axis=0) > 0) & ok[None, :] & ring_active
-        cnt = jnp.concatenate([jnp.zeros((CHANNELS, 1), I32),
-                               jnp.cumsum(reach.astype(I32), axis=1)], axis=1)
-
-        a = alpha
-        a_ok = slot_valid & jnp.isfinite(a) & (a >= 0) & (a <= F32(360))
-        if direction > 0:
-            # labeled by i iff i <= a  AND  a <= bounds[k](i):
-            # i in [ss(bounds_row, a, left), floor(a)]
-            i_lo = jax.vmap(lambda b_row, a_row: jnp.searchsorted(b_row, a_row, side="left"))(bounds, a)
-            i_hi = jnp.where(a_ok, jnp.clip(jnp.floor(a), 0, _NI - 1).astype(I32), I32(-1))
-        else:
-            # labeled by i iff i >= a  AND  bounds[k](i) <= a:
-            # i in [ceil(a), ss(bounds_row, a, right)-1]
-            i_lo = jnp.where(a_ok, jnp.clip(jnp.ceil(a), 0, _NI).astype(I32), I32(_NI))
-            i_hi = jax.vmap(lambda b_row, a_row: jnp.searchsorted(b_row, a_row, side="right"))(bounds, a) - 1
-
-        i_lo_c = jnp.clip(i_lo, 0, _NI)
-        i_hi_c = jnp.clip(i_hi + 1, 0, _NI)
-        labeled = (jnp.take_along_axis(cnt, i_hi_c, axis=1)
-                   - jnp.take_along_axis(cnt, i_lo_c, axis=1)) > 0
-
-        # Exact-equality special case: bound overridden to 360 (fwd) / 0 (bwd)
-        # for rings k >= 1 only.
-        has_sp = jnp.any(special)
-        i_sp = jnp.argmax(special)
-        reach_sp = reach[:, i_sp] & has_sp  # (R,)
-        k_ge1 = jnp.arange(CHANNELS)[:, None] >= 1
-        if direction > 0:
-            in_sp = (a >= i_f[i_sp]) & (a <= F32(360))
-        else:
-            in_sp = (a <= i_f[i_sp]) & (a >= F32(0))
-        labeled_sp = reach_sp[:, None] & k_ge1 & a_ok & in_sp
-
-        return labeled | labeled_sp
+        return labeled_mask(alpha, a_ok, reach, lo, hi)
 
     road = sweep(+1) | sweep(-1)
-    new_label = jnp.where(road & slot_valid & (label != LABEL_CURB),
-                          LABEL_ROAD, label)
+    new_label = jnp.where(road & (label != LABEL_CURB), LABEL_ROAD, label)
     return layout._replace(label=new_label)

@@ -119,28 +119,29 @@ def tensorize(x, y, z, d2, alpha, label, ring_id, ring_capacity: int) -> RingLay
 
     Replaces the reference's per-scan `channels x piece` allocation
     (lidar_segmentation.cpp:207, ~300 MB/scan) with a fixed padded layout.
+    TPU note: one multi-operand lax.sort carries all point fields through
+    the grouping (payloads ride the sort network — no per-field gathers);
+    per-ring counts are a one-hot compare-reduce, not a scatter-add.
     """
+    from urban_road_filter_tpu.ops.rank import group_positions
+
     n = ring_id.shape[0]
     p = ring_capacity
     iota = jnp.arange(n, dtype=I32)
 
-    # Stable grouping by ring: key = ring * n + index.
-    order = jnp.argsort(ring_id * I32(n) + iota)
-    ring_sorted = ring_id[order]
+    # Slot of each point = # earlier points in the same ring — computed by
+    # the sequential-grid Pallas ranking kernel (ops/rank.py): one read +
+    # one write per point, vs ~100 GB of bitonic-sort traffic at 131k pts.
+    pos, counts_all = group_positions(ring_id, CHANNELS + 1)
 
-    counts_all = jnp.zeros((CHANNELS + 1,), I32).at[ring_id].add(1)
-    starts = jnp.concatenate([jnp.zeros((1,), I32),
-                              jnp.cumsum(counts_all)[:-1].astype(I32)])
-    pos = iota - starts[ring_sorted]
-
-    in_ring = ring_sorted < CHANNELS
+    in_ring = ring_id < CHANNELS
     fits = in_ring & (pos < p)
     dump = I32(CHANNELS * p)
-    dst = jnp.where(fits, ring_sorted * I32(p) + pos, dump)
+    dst = jnp.where(fits, ring_id * I32(p) + pos, dump)
 
     def scatter(vals, fill, dtype):
         buf = jnp.full((CHANNELS * p + 1,), fill, dtype)
-        buf = buf.at[dst].set(vals[order].astype(dtype))
+        buf = buf.at[dst].set(vals.astype(dtype))
         return buf[:-1].reshape(CHANNELS, p)
 
     counts = jnp.minimum(counts_all[:CHANNELS], p)
@@ -170,11 +171,10 @@ def sort_by_azimuth(layout: RingLayout) -> RingLayout:
     key = jnp.where(slot_valid,
                     jnp.where(jnp.isnan(layout.alpha), F32(1e30), layout.alpha),
                     jnp.inf)
-    perm = jnp.argsort(key, axis=1)  # stable: ties keep input order
-
-    def g(a):
-        return jnp.take_along_axis(a, perm, axis=1)
-
-    return layout._replace(x=g(layout.x), y=g(layout.y), z=g(layout.z),
-                           d2=g(layout.d2), alpha=g(layout.alpha),
-                           label=g(layout.label), pid=g(layout.pid))
+    # One stable multi-operand sort per ring row: payloads ride the sort
+    # network instead of 7 take_along_axis gathers (slow on TPU).
+    _, xs, ys, zs, d2s, als, lbs, pids = jax.lax.sort(
+        (key, layout.x, layout.y, layout.z, layout.d2, layout.alpha,
+         layout.label, layout.pid), dimension=1, num_keys=1, is_stable=True)
+    return layout._replace(x=xs, y=ys, z=zs, d2=d2s, alpha=als,
+                           label=lbs, pid=pids)

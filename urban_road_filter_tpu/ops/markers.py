@@ -4,15 +4,20 @@ The reference's hottest loop re-scans ALL points for each of 361 one-degree
 bins (O(361*N), SURVEY.md section 3.2).  Here it is three segment
 reductions over the sorted (ring, slot) layout:
 
-  f[b]    = min scan-position of a non-road point in bin b   (scatter-min)
-  maxd[b] = max 2-D radius of road points before f[b]        (scatter-max)
-  g*[b]   = first scan-position attaining maxd[b]            (scatter-min)
+  f[b]    = min scan-position of a non-road point in bin b
+  maxd[b] = max 2-D radius of road points before f[b]
+  g*[b]   = first scan-position attaining maxd[b]
 
 "Scan position" is ring * P + slot — exactly the reference's (arc-major,
 azimuth-minor) traversal order, so the early-`break` semantics (a non-road
-point hides every later road point in its bin, cpp:317-339) are preserved
-bit-for-bit.  Ties on distance keep the first point in scan order (the
-reference's strict `d > maxDistanceRoad` update, cpp:329).
+point hides every later road point in its bin, cpp:317-339) are preserved.
+Ties on distance keep the first point in scan order (the strict
+`d > maxDistanceRoad` update, cpp:329).
+
+TPU note: the reductions are DENSE (ring, slot, bin) compare-reduces — XLA
+fuses the broadcast compares into the reductions, which beats scatter-min/
+max segment ops on TPU by a wide margin (scatters serialize; streaming
+compares ride the VPU).
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from urban_road_filter_tpu.constants import CHANNELS, LABEL_ROAD
+from urban_road_filter_tpu.constants import LABEL_ROAD
 from urban_road_filter_tpu.ops.geometry import RingLayout
 
 F32 = jnp.float32
@@ -38,40 +43,38 @@ def marker_points(layout: RingLayout, num_rings: jax.Array):
     valid = (slot < counts[:, None]) & (jnp.arange(r)[:, None] < num_rings)
 
     a_ok = valid & jnp.isfinite(alpha) & (alpha >= 0) & (alpha <= F32(360.0))
-    bin_of = jnp.where(a_ok, jnp.floor(alpha).astype(I32), I32(N_BINS))
-    bin_flat = jnp.clip(bin_of, 0, N_BINS).reshape(-1)
+    bin_of = jnp.where(a_ok, jnp.floor(alpha).astype(I32), I32(-1))  # (R, P)
+    g = jnp.arange(r, dtype=I32)[:, None] * I32(p) + slot  # scan position
+    d = layout.d2  # == the reference's marker distance (same formula)
+    road = label == LABEL_ROAD
 
-    g = (jnp.arange(r, dtype=I32)[:, None] * I32(p) + slot).reshape(-1)
-    lb = label.reshape(-1)
-    d = layout.d2.reshape(-1)  # == the reference's marker distance (same formula)
-    ok = a_ok.reshape(-1)
+    bins = jnp.arange(N_BINS, dtype=I32)  # (B,)
+    in_bin = bin_of[:, :, None] == bins[None, None, :]  # (R, P, B), fused
 
     # f[b]: first non-road point in scan order per bin.
-    nonroad = ok & (lb != LABEL_ROAD)
-    f = jnp.full((N_BINS + 1,), _BIG, I32).at[
-        jnp.where(nonroad, bin_flat, N_BINS)].min(g)
+    nonroad = (~road & a_ok)[:, :, None] & in_bin
+    f = jnp.min(jnp.where(nonroad, g[:, :, None], _BIG), axis=(0, 1))  # (B,)
 
-    # Road candidates: before the first non-road point, distance > 0.
-    cand = ok & (lb == LABEL_ROAD) & (g < f[bin_flat]) & (d > 0)
-    maxd = jnp.zeros((N_BINS + 1,), F32).at[
-        jnp.where(cand, bin_flat, N_BINS)].max(d)
+    # Road candidates before f, distance > 0; farthest per bin.
+    cand = (road & a_ok & (d > 0))[:, :, None] & in_bin & (g[:, :, None] < f)
+    maxd = jnp.max(jnp.where(cand, d[:, :, None], F32(0)), axis=(0, 1))  # (B,)
 
-    winner = cand & (d == maxd[bin_flat])
-    gstar = jnp.full((N_BINS + 1,), _BIG, I32).at[
-        jnp.where(winner, bin_flat, N_BINS)].min(g)
+    # Winner: first scan position attaining maxd (strict > update semantics).
+    winner = cand & (d[:, :, None] == maxd)
+    gstar = jnp.min(jnp.where(winner, g[:, :, None], _BIG), axis=(0, 1))
 
-    exists = maxd[:N_BINS] > 0
-    gsel = jnp.where(exists, gstar[:N_BINS], 0)
-    ring_sel, slot_sel = gsel // p, gsel % p
-    px = jnp.where(exists, layout.x[ring_sel, slot_sel], F32(0))
-    py = jnp.where(exists, layout.y[ring_sel, slot_sel], F32(0))
-    pz = jnp.where(exists, layout.z[ring_sel, slot_sel], F32(0))
-    red = (f[:N_BINS] != _BIG).astype(F32)
+    # Winner coordinates, gather-free: unique winner per bin -> sum-combine.
+    mine = winner & (g[:, :, None] == gstar)
 
-    table = jnp.stack([
-        exists.astype(F32), px, py, pz, red,
-        jnp.arange(N_BINS, dtype=F32)], axis=1)
-    return table
+    def pick(arr):
+        return jnp.sum(jnp.where(mine, arr[:, :, None], F32(0)), axis=(0, 1))
+
+    exists = maxd > 0
+    px, py, pz = pick(layout.x), pick(layout.y), pick(layout.z)
+    red = (f != _BIG).astype(F32)
+
+    return jnp.stack([exists.astype(F32), px, py, pz, red,
+                      bins.astype(F32)], axis=1)
 
 
 def compact_markers(table) -> tuple:

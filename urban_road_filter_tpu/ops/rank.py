@@ -1,0 +1,123 @@
+"""Stable group-ranking: position of each element within its group.
+
+`group_positions(ids, num_groups)` returns, for every element, the number
+of EARLIER elements with the same group id (its slot in a stable grouped
+layout) plus the per-group totals.  This is the core primitive behind
+tensorization (points -> (ring, slot)) and star-beam binning.
+
+Implementations:
+  * Pallas TPU kernel — points laid out as (rows, 128) lanes; a sequential
+    grid walks row-blocks keeping per-group running counts in VMEM scratch
+    (TPU grids execute in order).  Within a block the prefix splits into
+    a within-row pairwise count (lane x lane compares) plus an across-row
+    exclusive prefix of per-row group counts.  Each point is read and
+    written exactly once (~1 MB HBM traffic per 131k-point scan) vs
+    ~100 GB for a multi-operand bitonic sort of the same data, or an
+    11 GB reduce_window temp from XLA's one-hot-cumsum lowering.
+  * XLA fallback (sort-based) for CPU tests and non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+
+_LANES = 128
+_ROWS = 16  # rows per grid step -> 2048 points; VMEM ~= ROWS*LANES*G*4B
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
+                 rows: int):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        running[...] = jnp.zeros_like(running)
+
+    ids = ids_ref[...]  # (rows, LANES) int32, row-major point order
+
+    # Within-row exclusive same-group count: lane l counts lanes l' < l.
+    same = (ids[:, :, None] == ids[:, None, :]).astype(I32)  # (rows, L, L')
+    lane = jax.lax.broadcasted_iota(I32, (1, _LANES, _LANES), 1)
+    lane_p = jax.lax.broadcasted_iota(I32, (1, _LANES, _LANES), 2)
+    within_row = jnp.sum(same * (lane_p < lane), axis=2)  # (rows, LANES)
+
+    # Per-row group counts + exclusive across-row prefix within the block.
+    gids = jax.lax.broadcasted_iota(I32, (1, 1, g_pad), 2)
+    oh3 = (ids[:, :, None] == gids).astype(I32)  # (rows, LANES, g_pad)
+    rowcnt = jnp.sum(oh3, axis=1)  # (rows, g_pad)
+    r_i = jax.lax.broadcasted_iota(I32, (rows, rows), 0)
+    r_j = jax.lax.broadcasted_iota(I32, (rows, rows), 1)
+    lt = (r_j < r_i).astype(jnp.float32)  # strictly-lower triangular
+    row_base = jnp.dot(lt, rowcnt.astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(I32)
+
+    base = running[0:1, :] + row_base  # (rows, g_pad) counts before each row
+    base_sel = jnp.sum(oh3 * base[:, None, :], axis=2)  # (rows, LANES)
+
+    pos_ref[...] = within_row + base_sel
+    running[0:1, :] = running[0:1, :] + jnp.sum(rowcnt, axis=0, keepdims=True)
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        counts_ref[...] = running[...]
+
+
+def _pallas_rank(ids: jax.Array, num_groups: int, interpret: bool = False):
+    n = ids.shape[0]
+    g_pad = _round_up(num_groups + 1, _LANES)  # last group = padding sink
+    n_pad = _round_up(n, _ROWS * _LANES)
+    ids2 = jnp.full((n_pad,), g_pad - 1, I32).at[:n].set(ids)
+    ids2 = ids2.reshape(n_pad // _LANES, _LANES)
+
+    pos, counts = pl.pallas_call(
+        functools.partial(_rank_kernel, g_pad=g_pad, rows=_ROWS),
+        grid=(n_pad // (_ROWS * _LANES),),
+        in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, g_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n_pad // _LANES, _LANES), I32),
+                   jax.ShapeDtypeStruct((8, g_pad), I32)),
+        scratch_shapes=[pltpu.VMEM((8, g_pad), I32)],
+        interpret=interpret,
+    )(ids2)
+    return pos.reshape(-1)[:n], counts[0, :num_groups]
+
+
+def _xla_rank(ids: jax.Array, num_groups: int):
+    """Sort-based fallback: stable sort by id, position = index - group
+    start."""
+    n = ids.shape[0]
+    iota = jnp.arange(n, dtype=I32)
+    key = ids * I32(n) + iota
+    key_s, idx_s = jax.lax.sort((key, iota), num_keys=1)
+    ids_s = key_s // I32(n)
+    counts = jnp.sum(ids[:, None] == jnp.arange(num_groups, dtype=I32)[None, :],
+                     axis=0, dtype=I32)
+    starts = jnp.concatenate([jnp.zeros((1,), I32),
+                              jnp.cumsum(counts)[:-1].astype(I32)])
+    pos_s = iota - starts[jnp.clip(ids_s, 0, num_groups - 1)]
+    pos = jnp.zeros((n,), I32).at[idx_s].set(pos_s)
+    return pos, counts
+
+
+def group_positions(ids: jax.Array, num_groups: int):
+    """(pos, counts): pos[i] = # of j < i with ids[j] == ids[i];
+    counts[g] = total elements of group g.  ids must be in [0, num_groups)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return _pallas_rank(ids, num_groups)
+    return _xla_rank(ids, num_groups)

@@ -53,22 +53,24 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
         coord = jnp.where(yx_b, x, y)
         keep = keep & ((c - o_b) < coord) & (coord < (c + o_b))
 
-    # --- stable scatter into (REP, K): beams accumulate in input order ---
+    # --- stable grouping into (REP, K): beams accumulate in input order.
+    # Sort-free: per-beam slot = exclusive running count of same-beam
+    # predecessors, computed by the sequential-grid Pallas ranking kernel
+    # (a 131k-element multi-operand bitonic sort costs ~100 GB of HBM
+    # traffic; the ranking kernel reads/writes each point once).
+    from urban_road_filter_tpu.ops.rank import group_positions
+
     iota = jnp.arange(n, dtype=I32)
-    key = jnp.where(keep, f, I32(STAR_REP)) * I32(n) + iota
-    order = jnp.argsort(key)
-    f_sorted = jnp.where(keep, f, I32(STAR_REP))[order]
-    counts_all = jnp.zeros((STAR_REP + 1,), I32).at[jnp.where(keep, f, STAR_REP)].add(1)
-    starts = jnp.concatenate([jnp.zeros((1,), I32),
-                              jnp.cumsum(counts_all)[:-1].astype(I32)])
-    pos = iota - starts[f_sorted]
-    fits = (f_sorted < STAR_REP) & (pos < k_cap)
+    fk = jnp.where(keep, f, I32(STAR_REP))
+    pos, counts_all = group_positions(fk, STAR_REP + 1)
+
+    fits = (fk < STAR_REP) & (pos < k_cap)
     dump = I32(STAR_REP * k_cap)
-    dst = jnp.where(fits, f_sorted * I32(k_cap) + pos, dump)
+    dst = jnp.where(fits, fk * I32(k_cap) + pos, dump)
 
     def scatter(vals, fill, dtype):
         buf = jnp.full((STAR_REP * k_cap + 1,), fill, dtype)
-        return buf.at[dst].set(vals[order].astype(dtype))[:-1].reshape(STAR_REP, k_cap)
+        return buf.at[dst].set(vals.astype(dtype))[:-1].reshape(STAR_REP, k_cap)
 
     r_b = scatter(r, jnp.inf, F32)
     z_b = scatter(z, 0.0, F32)
@@ -78,10 +80,8 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     # --- per-beam radial sort (cpp:109); stable, invalid slots at +inf ---
     slot = jnp.arange(k_cap)[None, :]
     sort_key = jnp.where(slot < counts[:, None], r_b, jnp.inf)
-    perm = jnp.argsort(sort_key, axis=1)
-    r_s = jnp.take_along_axis(r_b, perm, axis=1)
-    z_s = jnp.take_along_axis(z_b, perm, axis=1)
-    pid_s = jnp.take_along_axis(pid_b, perm, axis=1)
+    _, r_s, z_s, pid_s = jax.lax.sort(
+        (sort_key, r_b, z_b, pid_b), dimension=1, num_keys=1, is_stable=True)
 
     # --- edge detection as prefix statistics (cpp:111-151) ---
     import numpy as np

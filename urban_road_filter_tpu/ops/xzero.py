@@ -48,14 +48,17 @@ def x_zero(layout: RingLayout, cfg: FilterConfig) -> RingLayout:
     x2 = jnp.sqrt(dny2 ** 2 + (sh(z, cp) - sh(z, h)) ** 2)
     x3 = jnp.sqrt(dny3 ** 2 + (sh(z, cp) - z) ** 2)
 
-    bracket = jnp.clip((x3 * x3 - x1 * x1 - x2 * x2) / (F32(-2) * x1 * x2),
-                       F32(-1), F32(1))
-    alpha = jnp.arccos(bracket) * F32(180.0 / math.pi)
+    bracket = (x3 * x3 - x1 * x1 - x2 * x2) / (F32(-2) * x1 * x2)
+    # acos(clip(b)) * 180/pi <= angleFilter1  <=>  b >= cos(angleFilter1):
+    # acos is monotone decreasing, so the threshold moves to cosine space
+    # (computed at trace time) — one transcendental less per point, and the
+    # form Mosaic can lower (no acos primitive on TPU).
+    cos_thresh = F32(math.cos(math.radians(float(np.float32(cfg.cylinder_deg_x)))))
 
     ch = F32(cfg.curb_height)
     cond = (
         (d < F32(5.0))
-        & (alpha <= F32(cfg.cylinder_deg_x))
+        & (bracket >= cos_thresh)
         & ((jnp.abs(z - sh(z, h)) >= ch) | (jnp.abs(sh(z, cp) - sh(z, h)) >= ch))
         & (jnp.abs(z - sh(z, cp)) >= F32(0.05))
     )

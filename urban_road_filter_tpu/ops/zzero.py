@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax.numpy as jnp
 
 from urban_road_filter_tpu.config import FilterConfig
@@ -52,16 +53,16 @@ def z_zero(layout: RingLayout, cfg: FilterConfig) -> RingLayout:
         max1 = jnp.maximum(max1, sh(absz, -k))
         max2 = jnp.maximum(max2, sh(absz, k))
 
-    bracket = jnp.clip(
-        (va1 * vb1 + va2 * vb2)
-        / (jnp.sqrt(va1 * va1 + va2 * va2) * jnp.sqrt(vb1 * vb1 + vb2 * vb2)),
-        F32(-1), F32(1))
-    alpha = jnp.arccos(bracket) * F32(180.0 / math.pi)
+    bracket = (va1 * vb1 + va2 * vb2) / (
+        jnp.sqrt(va1 * va1 + va2 * va2) * jnp.sqrt(vb1 * vb1 + vb2 * vb2))
+    # Cosine-space threshold (see ops/xzero.py): alpha <= angleFilter2
+    # <=> bracket >= cos(angleFilter2); NaN brackets fail both forms.
+    cos_thresh = F32(math.cos(math.radians(float(np.float32(cfg.cylinder_deg_z)))))
 
     ch = F32(cfg.curb_height)
     cond = (
         (d < F32(5.0))
-        & (alpha <= F32(cfg.cylinder_deg_z))
+        & (bracket >= cos_thresh)
         & ((max1 - absz >= ch) | (max2 - absz >= ch))
         & (jnp.abs(max1 - max2) >= F32(0.05))
     )

@@ -384,7 +384,8 @@ def _z_zero_halo(layout, cfg, frame):
 
 
 def _blind_spots_sharded(layout, max_dist, num_rings, cfg):
-    """blind_spots with blocked bits / quadrant extremes psum-combined."""
+    """blind_spots with blocked bits / quadrant extremes psum-combined;
+    reuses the dense single-device kernels from ops.blind_spots."""
     from urban_road_filter_tpu.ops import blind_spots as bs
 
     alpha, label, counts = layout.alpha, layout.label, layout.counts
@@ -392,97 +393,42 @@ def _blind_spots_sharded(layout, max_dist, num_rings, cfg):
     slot = jnp.arange(p)[None, :]
     slot_valid = slot < counts[:, None]
     ring_active = (jnp.arange(CHANNELS) < num_rings)[:, None]
-
-    bz = F32(cfg.beam_zone)
     i_f = jnp.arange(_NI, dtype=F32)
 
     gate = jnp.zeros((_NI,), jnp.bool_)
     if cfg.blind_spots:
         # Local extremes -> global via pmax/pmin on the raw masked values.
-        curb = slot_valid[1] & (label[1] == LABEL_CURB)
+        curb1 = slot_valid[1] & (label[1] == LABEL_CURB)
         a1 = alpha[1]
         r1 = (a1 >= 0) & (a1 < 90)
         r2 = (a1 >= 90) & (a1 < 180)
         r3 = (a1 >= 180) & (a1 < 270)
         r4 = ~(r1 | r2 | r3) & ~jnp.isnan(a1)
-        mx1 = jax.lax.pmax(jnp.max(jnp.where(curb & r1, a1, -jnp.inf)), AX)
-        mn2 = jax.lax.pmin(jnp.min(jnp.where(curb & r2, a1, jnp.inf)), AX)
-        mx3 = jax.lax.pmax(jnp.max(jnp.where(curb & r3, a1, -jnp.inf)), AX)
-        mn4 = jax.lax.pmin(jnp.min(jnp.where(curb & r4, a1, jnp.inf)), AX)
+        mx1 = jax.lax.pmax(jnp.max(jnp.where(curb1 & r1, a1, -jnp.inf)), AX)
+        mn2 = jax.lax.pmin(jnp.min(jnp.where(curb1 & r2, a1, jnp.inf)), AX)
+        mx3 = jax.lax.pmax(jnp.max(jnp.where(curb1 & r3, a1, -jnp.inf)), AX)
+        mn4 = jax.lax.pmin(jnp.min(jnp.where(curb1 & r4, a1, jnp.inf)), AX)
         q = (jnp.where(mx1 > 0, mx1, F32(0)),
              jnp.where(mn2 < 180, mn2, F32(180)),
              jnp.where(mx3 > 180, mx3, F32(180)),
              jnp.where(mn4 < 360, mn4, F32(360)))
         gate = bs._gate(i_f, q, int(cfg.x_direction))
 
-    curb_i = (slot_valid & (label == LABEL_CURB)).astype(I32)
-    cc = jnp.concatenate([jnp.zeros((CHANNELS, 1), I32),
-                          jnp.cumsum(curb_i, axis=1)], axis=1)
-
-    deg_len = max_dist * F32(math.pi) / F32(180)
-    arc_distance = deg_len[0] * bz
-    w = (arc_distance / deg_len).at[0].set(bz)
-
-    def count_in(a_row, cc_row, lo_vec, hi_vec):
-        l = jnp.searchsorted(a_row, lo_vec, side="left")
-        r = jnp.searchsorted(a_row, hi_vec, side="right")
-        return cc_row[r] - cc_row[l]
-
-    v_count = jax.vmap(count_in)
+    curb = slot_valid & (label == LABEL_CURB)
+    a_ok = slot_valid & jnp.isfinite(alpha) & (alpha >= 0) & (alpha <= F32(360))
+    w = bs.window_widths(max_dist, cfg.beam_zone)
 
     def sweep(direction):
-        if direction > 0:
-            active = i_f <= (F32(360) - bz)
-            special = i_f == (F32(360) - bz)
-            bounds = i_f[None, :] + w[:, None]
-            lo = jnp.broadcast_to(i_f, (CHANNELS, _NI))
-            hi = jnp.where((jnp.arange(CHANNELS)[:, None] >= 1) & special[None, :],
-                           F32(360), bounds)
-        else:
-            active = (i_f >= bz) & (i_f <= F32(360))
-            special = i_f == bz
-            bounds = i_f[None, :] - w[:, None]
-            hi = jnp.broadcast_to(i_f, (CHANNELS, _NI))
-            lo = jnp.where((jnp.arange(CHANNELS)[:, None] >= 1) & special[None, :],
-                           F32(0), bounds)
-
-        blocked_local = (v_count(alpha, cc, lo, hi) > 0).astype(I32)
+        active, lo, hi = bs.sweep_bounds(w, cfg.beam_zone, direction)
+        blocked_local = bs.blocked_bits(alpha, curb, lo, hi).astype(I32)
         blocked = jax.lax.psum(blocked_local, AX) > 0  # << the one collective
         ok = active & ~gate
         not_blocked = (~(blocked & ring_active)).astype(I32)
         reach = (jnp.cumprod(not_blocked, axis=0) > 0) & ok[None, :] & ring_active
-        cnt = jnp.concatenate([jnp.zeros((CHANNELS, 1), I32),
-                               jnp.cumsum(reach.astype(I32), axis=1)], axis=1)
-
-        a = alpha
-        a_ok = slot_valid & jnp.isfinite(a) & (a >= 0) & (a <= F32(360))
-        if direction > 0:
-            i_lo = jax.vmap(lambda b_row, a_row: jnp.searchsorted(
-                b_row, a_row, side="left"))(bounds, a)
-            i_hi = jnp.where(a_ok, jnp.clip(jnp.floor(a), 0, _NI - 1).astype(I32),
-                             I32(-1))
-        else:
-            i_lo = jnp.where(a_ok, jnp.clip(jnp.ceil(a), 0, _NI).astype(I32),
-                             I32(_NI))
-            i_hi = jax.vmap(lambda b_row, a_row: jnp.searchsorted(
-                b_row, a_row, side="right"))(bounds, a) - 1
-
-        labeled = (jnp.take_along_axis(cnt, jnp.clip(i_hi + 1, 0, _NI), axis=1)
-                   - jnp.take_along_axis(cnt, jnp.clip(i_lo, 0, _NI), axis=1)) > 0
-
-        has_sp = jnp.any(special)
-        i_sp = jnp.argmax(special)
-        reach_sp = reach[:, i_sp] & has_sp
-        k_ge1 = jnp.arange(CHANNELS)[:, None] >= 1
-        if direction > 0:
-            in_sp = (a >= i_f[i_sp]) & (a <= F32(360))
-        else:
-            in_sp = (a <= i_f[i_sp]) & (a >= F32(0))
-        return labeled | (reach_sp[:, None] & k_ge1 & a_ok & in_sp)
+        return bs.labeled_mask(alpha, a_ok, reach, lo, hi)
 
     road = sweep(+1) | sweep(-1)
-    new_label = jnp.where(road & slot_valid & (label != LABEL_CURB),
-                          LABEL_ROAD, label)
+    new_label = jnp.where(road & (label != LABEL_CURB), LABEL_ROAD, label)
     return layout._replace(label=new_label)
 
 
@@ -504,39 +450,35 @@ def _markers_sharded(layout, num_rings, me):
          + prefix[:, None] + slot).reshape(-1)
 
     a_ok = valid & jnp.isfinite(alpha) & (alpha >= 0) & (alpha <= F32(360))
-    bin_flat = jnp.clip(jnp.where(a_ok, jnp.floor(alpha).astype(I32), N_BINS),
-                        0, N_BINS).reshape(-1)
-    lb = label.reshape(-1)
-    dd = layout.d2.reshape(-1)
-    okf = a_ok.reshape(-1)
+    bin_of = jnp.where(a_ok, jnp.floor(alpha).astype(I32), I32(-1))
+    g2 = g.reshape(r, p)
+    d = layout.d2
+    road = label == LABEL_ROAD
+    bins = jnp.arange(N_BINS, dtype=I32)
+    in_bin = bin_of[:, :, None] == bins[None, None, :]  # (R, P, B), fused
 
-    nonroad = okf & (lb != LABEL_ROAD)
-    f_loc = jnp.full((N_BINS + 1,), _BIG, I32).at[
-        jnp.where(nonroad, bin_flat, N_BINS)].min(g)
+    nonroad = (~road & a_ok)[:, :, None] & in_bin
+    f_loc = jnp.min(jnp.where(nonroad, g2[:, :, None], _BIG), axis=(0, 1))
     f = jax.lax.pmin(f_loc, AX)
 
-    cand = okf & (lb == LABEL_ROAD) & (g < f[bin_flat]) & (dd > 0)
-    maxd_loc = jnp.zeros((N_BINS + 1,), F32).at[
-        jnp.where(cand, bin_flat, N_BINS)].max(dd)
+    cand = (road & a_ok & (d > 0))[:, :, None] & in_bin & (g2[:, :, None] < f)
+    maxd_loc = jnp.max(jnp.where(cand, d[:, :, None], F32(0)), axis=(0, 1))
     maxd = jax.lax.pmax(maxd_loc, AX)
 
-    winner = cand & (dd == maxd[bin_flat])
-    g_loc = jnp.full((N_BINS + 1,), _BIG, I32).at[
-        jnp.where(winner, bin_flat, N_BINS)].min(g)
+    winner = cand & (d[:, :, None] == maxd)
+    g_loc = jnp.min(jnp.where(winner, g2[:, :, None], _BIG), axis=(0, 1))
     gstar = jax.lax.pmin(g_loc, AX)
 
     # The owning wedge contributes the coordinates; the global winner is
     # unique (g is unique), so a sum-combine broadcasts them exactly.
-    mine = winner & (g == gstar[bin_flat])
+    mine = winner & (g2[:, :, None] == gstar)
 
     def pick(arr):
-        v = jnp.zeros((N_BINS + 1,), F32).at[
-            jnp.where(mine, bin_flat, N_BINS)].add(
-                jnp.where(mine, arr.reshape(-1), F32(0)))
-        return jax.lax.psum(v, AX)[:N_BINS]
+        return jax.lax.psum(
+            jnp.sum(jnp.where(mine, arr[:, :, None], F32(0)), axis=(0, 1)), AX)
 
-    exists = maxd[:N_BINS] > 0
+    exists = maxd > 0
     px, py, pz = pick(layout.x), pick(layout.y), pick(layout.z)
-    red = (f[:N_BINS] != _BIG).astype(F32)
+    red = (f != _BIG).astype(F32)
     return jnp.stack([exists.astype(F32), px, py, pz, red,
-                      jnp.arange(N_BINS, dtype=F32)], axis=1)
+                      bins.astype(F32)], axis=1)

@@ -78,10 +78,18 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
                                 dims.ring_capacity)
     max_dist = geometry.max_distance(layout)
 
-    if cfg.x_zero_method:
-        layout = x_zero(layout, cfg)
-    if cfg.z_zero_method:
-        layout = z_zero(layout, cfg)
+    if jax.default_backend() in ("tpu", "axon") and (
+            cfg.x_zero_method or cfg.z_zero_method):
+        # One fused VMEM-resident Pallas pass for both stencils (bit-equal
+        # to the XLA ops; see ops/pallas_kernels.py).
+        from urban_road_filter_tpu.ops.pallas_kernels import fused_xz_zero
+
+        layout = fused_xz_zero(layout, cfg)
+    else:
+        if cfg.x_zero_method:
+            layout = x_zero(layout, cfg)
+        if cfg.z_zero_method:
+            layout = z_zero(layout, cfg)
 
     layout = geometry.sort_by_azimuth(layout)
     layout = blind_spots(layout, max_dist, num_rings, cfg)
