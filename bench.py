@@ -21,10 +21,12 @@ def main() -> None:
     from urban_road_filter_tpu.pipeline import pad_scan, process_batch_jit
 
     cfg = FilterConfig()
-    # 64-beam, ~100k usable pts/scan (BASELINE.json input scale).
-    dims = PipelineDims(max_points=131072, rings=64, ring_capacity=4096,
-                        beam_capacity=1024)
-    batch = 16
+    # 64-beam, ~100k usable pts/scan (BASELINE.json input scale).  Ring
+    # capacity 2048 == the azimuth resolution (a ring cannot receive more
+    # points than firings per revolution); overflow is asserted zero below.
+    dims = PipelineDims(max_points=131072, rings=64, ring_capacity=2048,
+                        beam_capacity=512)
+    batch = 64
 
     scans = np.stack([
         pad_scan(
@@ -50,6 +52,7 @@ def main() -> None:
         np.asarray(out.ok)
     dt = (time.perf_counter() - t0) / iters
 
+    assert int(np.asarray(out.overflow).max()) == 0, "ring capacity overflow"
     scans_per_sec = batch / dt
     p50_latency_ms = dt * 1000.0  # per-batch step latency
 

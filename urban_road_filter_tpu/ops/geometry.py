@@ -136,19 +136,28 @@ def tensorize(x, y, z, d2, alpha, label, ring_id, ring_capacity: int) -> RingLay
 
     in_ring = ring_id < CHANNELS
     fits = in_ring & (pos < p)
-    dump = I32(CHANNELS * p)
-    dst = jnp.where(fits, ring_id * I32(p) + pos, dump)
+    # Dropped/overflow points each get their own dump slot past the layout:
+    # all indices are globally unique, so XLA can take the fast
+    # no-duplicate scatter path (unique_indices=True) instead of the
+    # collision-safe serialized one.
+    dst = jnp.where(fits, ring_id * I32(p) + pos, I32(CHANNELS * p) + iota)
 
     def scatter(vals, fill, dtype):
-        buf = jnp.full((CHANNELS * p + 1,), fill, dtype)
-        buf = buf.at[dst].set(vals.astype(dtype))
-        return buf[:-1].reshape(CHANNELS, p)
+        buf = jnp.full((CHANNELS * p + n,), fill, dtype)
+        buf = buf.at[dst].set(vals.astype(dtype), unique_indices=True)
+        return buf[:CHANNELS * p].reshape(CHANNELS, p)
 
     counts = jnp.minimum(counts_all[:CHANNELS], p)
     overflow = jnp.sum(in_ring & (pos >= p)).astype(I32)
+    # d2/alpha are pure functions of (x, y): recompute them on the placed
+    # layout instead of paying two more scatters.  Padding slots (x=y=0)
+    # get alpha=NaN, which every consumer already masks via counts/a_ok.
+    lx, ly = scatter(x, 0.0, F32), scatter(y, 0.0, F32)
+    del d2, alpha
+    ld2, lalpha = azimuth_2d(lx, ly)
     return RingLayout(
-        x=scatter(x, 0.0, F32), y=scatter(y, 0.0, F32), z=scatter(z, 0.0, F32),
-        d2=scatter(d2, 0.0, F32), alpha=scatter(alpha, jnp.inf, F32),
+        x=lx, y=ly, z=scatter(z, 0.0, F32),
+        d2=ld2, alpha=lalpha,
         label=scatter(label, 0, I32), pid=scatter(iota, -1, I32),
         counts=counts, overflow=overflow)
 

@@ -65,12 +65,14 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     pos, counts_all = group_positions(fk, STAR_REP + 1)
 
     fits = (fk < STAR_REP) & (pos < k_cap)
-    dump = I32(STAR_REP * k_cap)
-    dst = jnp.where(fits, fk * I32(k_cap) + pos, dump)
+    # Unique dump slots -> fast unique-indices scatter path (see
+    # geometry.tensorize).
+    dst = jnp.where(fits, fk * I32(k_cap) + pos, I32(STAR_REP * k_cap) + iota)
 
     def scatter(vals, fill, dtype):
-        buf = jnp.full((STAR_REP * k_cap + 1,), fill, dtype)
-        return buf.at[dst].set(vals.astype(dtype))[:-1].reshape(STAR_REP, k_cap)
+        buf = jnp.full((STAR_REP * k_cap + n,), fill, dtype)
+        return buf.at[dst].set(vals.astype(dtype), unique_indices=True)[
+            :STAR_REP * k_cap].reshape(STAR_REP, k_cap)
 
     r_b = scatter(r, jnp.inf, F32)
     z_b = scatter(z, 0.0, F32)

@@ -97,11 +97,15 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
 
     # Scatter final labels back to input-point order (dropped points stay 0,
     # like the reference: output clouds are built from array3D only).
+    # Empty slots get unique dump indices -> fast unique-indices scatter.
     pid = layout.pid.reshape(-1)
     lbl = layout.label.reshape(-1)
     ok_slot = pid >= 0
-    labels_out = jnp.zeros((n + 1,), I32).at[
-        jnp.where(ok_slot, pid, n)].set(jnp.where(ok_slot, lbl, 0))[:n]
+    n_slots = pid.shape[0]
+    dump = n + jnp.arange(n_slots, dtype=I32)
+    labels_out = jnp.zeros((n + n_slots,), I32).at[
+        jnp.where(ok_slot, pid, dump)].set(
+            jnp.where(ok_slot, lbl, 0), unique_indices=True)[:n]
 
     # Gate everything on the >=30-point guard: a not-ok scan publishes nothing.
     gate = ok
