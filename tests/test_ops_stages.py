@@ -86,9 +86,11 @@ class TestStarStage:
         want = np.zeros(len(pts), np.int16)
         oracle.star_shaped_search(pts[:, 0].astype(F32), pts[:, 1].astype(F32),
                                   pts[:, 2].astype(F32), want, cfg)
-        got = np.asarray(star_shaped(
+        got_lbl, star_of = star_shaped(
             jnp.asarray(pts[:, :4]), jnp.ones(len(pts), bool),
-            jnp.zeros(len(pts), jnp.int32), cfg, 256))
+            jnp.zeros(len(pts), jnp.int32), cfg, 256)
+        got = np.asarray(got_lbl)
+        assert int(star_of) == 0
         agree = np.mean((got == LABEL_CURB) == (want == LABEL_CURB))
         assert agree >= 0.999, f"star marks agree {agree:.5f}"
 
@@ -98,9 +100,10 @@ class TestStarStage:
         want = np.zeros(len(pts), np.int16)
         oracle.star_shaped_search(pts[:, 0].astype(F32), pts[:, 1].astype(F32),
                                   pts[:, 2].astype(F32), want, cfg)
-        got = np.asarray(star_shaped(
+        got_lbl, _ = star_shaped(
             jnp.asarray(pts[:, :4]), jnp.ones(len(pts), bool),
-            jnp.zeros(len(pts), jnp.int32), cfg, 256))
+            jnp.zeros(len(pts), jnp.int32), cfg, 256)
+        got = np.asarray(got_lbl)
         agree = np.mean((got == LABEL_CURB) == (want == LABEL_CURB))
         assert agree >= 0.999
 

@@ -59,36 +59,36 @@ class TestStrips:
         return np.stack([x, x * 0.5, np.full(n, z), np.asarray(flags, float)], -1)
 
     def test_single_color_single_strip(self):
-        strips = build_line_strips(self._markers([0, 0, 0, 0]), polysimp_allow=False)
+        strips, _ = build_line_strips(self._markers([0, 0, 0, 0]), polysimp_allow=False)
         assert len(strips) == 1 and strips[0].color == "green"
 
     def test_transition_shares_boundary_points(self):
         m = self._markers([0, 0, 1, 1])
-        strips = build_line_strips(m, polysimp_allow=False, zavg_allow=False)
+        strips, _ = build_line_strips(m, polysimp_allow=False, zavg_allow=False)
         assert [s.color for s in strips] == ["green", "red"]
         # green -> red: red strip starts at the previous (green) point.
         np.testing.assert_allclose(strips[1].points[0], m[1, :3])
 
     def test_red_to_green_transition(self):
         m = self._markers([1, 1, 0, 0])
-        strips = build_line_strips(m, polysimp_allow=False, zavg_allow=False)
+        strips, _ = build_line_strips(m, polysimp_allow=False, zavg_allow=False)
         assert [s.color for s in strips] == ["red", "green"]
         # the transition point belongs to both strips
         np.testing.assert_allclose(strips[0].points[-1], m[2, :3])
         np.testing.assert_allclose(strips[1].points[0], m[2, :3])
 
     def test_cm_leq_2_no_strips(self):
-        assert build_line_strips(self._markers([0, 0])) == []
+        assert build_line_strips(self._markers([0, 0])) == ([], 0)
 
     def test_zavg_overwrites_z(self):
         m = self._markers([0, 0, 0, 0])
         m[:, 2] = [-1.0, -2.0, -1.0, -2.0]
-        strips = build_line_strips(m, polysimp_allow=False, zavg_allow=True)
+        strips, _ = build_line_strips(m, polysimp_allow=False, zavg_allow=True)
         np.testing.assert_allclose(strips[0].points[:, 2], -1.5, atol=1e-6)
 
     def test_polysimp_sets_polyz(self):
-        strips = build_line_strips(self._markers([0, 0, 0, 0]),
-                                   polysimp_allow=True, polyz=-1.25, zavg_allow=False)
+        strips, _ = build_line_strips(self._markers([0, 0, 0, 0]),
+                                      polysimp_allow=True, polyz=-1.25, zavg_allow=False)
         np.testing.assert_allclose(strips[0].points[:, 2], -1.25)
 
 
@@ -97,13 +97,12 @@ class TestGhosts:
         t = MarkerTracker()
         m4 = np.stack([np.arange(8.0), np.zeros(8), np.zeros(8),
                        np.array([0, 0, 1, 1, 0, 0, 1, 1.0])], -1)
-        strips = build_line_strips(m4, polysimp_allow=False)
-        out1 = t.finalize(strips)
-        n_live = len(strips)
-        assert t.ghostcount == strips[-1].id
+        strips, lid = build_line_strips(m4, polysimp_allow=False)
+        out1 = t.finalize(strips, lid)
+        assert t.ghostcount == lid == strips[-1].id
         # Next scan has fewer strips -> DELETEs for the stale ids.
         m1 = np.stack([np.arange(4.0), np.zeros(4), np.zeros(4), np.zeros(4)], -1)
-        strips2 = build_line_strips(m1, polysimp_allow=False)
-        out2 = t.finalize(strips2)
+        strips2, lid2 = build_line_strips(m1, polysimp_allow=False)
+        out2 = t.finalize(strips2, lid2)
         dels = [s for s in out2 if s.action == "delete"]
         assert {s.id for s in dels} == set(range(strips2[-1].id + 1, strips[-1].id + 1))

@@ -61,8 +61,10 @@ def read_pcd(path: str | os.PathLike, use_native: bool = True) -> np.ndarray:
         sizes = [int(s) for s in hdr.get("SIZE", [])]
         types = hdr.get("TYPE", [])
         counts = [int(c) for c in hdr.get("COUNT", ["1"] * len(fields))]
-        n = int(hdr.get("POINTS", hdr.get("WIDTH", ["0"]))[0]) \
-            if isinstance(hdr.get("POINTS", 0), list) else int(hdr["POINTS"])
+        if "POINTS" in hdr:
+            n = int(hdr["POINTS"][0])
+        else:  # spec-legal: WIDTH x HEIGHT without POINTS
+            n = int(hdr.get("WIDTH", ["0"])[0]) * int(hdr.get("HEIGHT", ["1"])[0])
         data_kind = hdr["DATA"]
 
         dtype_fields = []

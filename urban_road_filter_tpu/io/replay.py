@@ -199,12 +199,13 @@ class ReplayHarness:
         if len(rows) > 2 and bool(out.ok):
             rows = rows.copy()
             rows[:, 3] = smooth_marker_flags(rows[:, 3])
-            strips = self.tracker.finalize(build_line_strips(
+            built, line_strip_id = build_line_strips(
                 rows,
                 polysimp_allow=self.cfg.simple_poly_allow,
                 polysimp=self.cfg.poly_s_param,
                 polyz=self.cfg.poly_z_manual,
-                zavg_allow=self.cfg.poly_z_avg_allow))
+                zavg_allow=self.cfg.poly_z_avg_allow)
+            strips = self.tracker.finalize(built, line_strip_id)
 
         stats = ScanStats(
             seq=self._seq, ok=bool(out.ok), points_in=n_in,

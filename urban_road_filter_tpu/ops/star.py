@@ -30,8 +30,11 @@ I32 = jnp.int32
 
 
 def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
-                cfg: FilterConfig, beam_capacity: int) -> jax.Array:
-    """Returns updated per-point labels (marks LABEL_CURB at beam edges)."""
+                cfg: FilterConfig, beam_capacity: int):
+    """Returns (updated per-point labels, overflow count): marks LABEL_CURB
+    at beam edges; overflow counts points dropped by beam capacity (the
+    reference keeps all points per beam — a nonzero count means the radial
+    walk saw a truncated beam and capacity should be raised)."""
     n = pts.shape[0]
     k_cap = beam_capacity
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -40,7 +43,10 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     r = jnp.sqrt(x * x + y * y)
     fi = jnp.arctan2(y, x)
     fi = jnp.where(fi < 0, fi + F32(2.0 * math.pi), fi)
-    f = jnp.clip((fi * F32(STAR_KFI)).astype(I32), 0, STAR_REP - 1)
+    # f == rep IS reachable (fi a few ulps below 2pi rounds to 360.0 after
+    # the f32 multiply); the reference routes it to beam 0 via its
+    # beamp[rep] sentinel pointer (star_shaped_search.cpp:20,157).
+    f = (fi * F32(STAR_KFI)).astype(I32) % I32(STAR_REP)
 
     keep = valid
     if cfg.starbeam_filter:
@@ -116,4 +122,5 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     hit_pid = pid_s[jnp.arange(STAR_REP), first]
 
     marks = jnp.zeros((n + 1,), jnp.bool_).at[jnp.where(hit, hit_pid, n)].set(True)[:n]
-    return jnp.where(marks, LABEL_CURB, labels)
+    overflow = jnp.sum((fk < STAR_REP) & (pos >= k_cap)).astype(I32)
+    return jnp.where(marks, LABEL_CURB, labels), overflow

@@ -33,25 +33,28 @@ def z_zero(layout: RingLayout, cfg: FilterConfig) -> RingLayout:
 
     d = jnp.sqrt((sh(x, cp) - sh(x, -cp)) ** 2 + (sh(y, cp) - sh(y, -cp)) ** 2)
 
-    # Windowed sums sum_{k=j-cp}^{j-1} and sum_{k=j+1}^{j+cp} via cumsum.
-    cx = jnp.cumsum(x, axis=-1)
-    cy = jnp.cumsum(y, axis=-1)
-
-    def wsum(c, lo, hi):  # sum over [j+lo, j+hi] inclusive
-        return sh(c, hi) - jnp.where(jnp.arange(p)[None, :] + lo > 0, sh(c, lo - 1), F32(0))
-
-    fcp = F32(cp)
-    va1 = (wsum(cx, -cp, -1) - fcp * x) * (F32(1) / fcp)
-    va2 = (wsum(cy, -cp, -1) - fcp * y) * (F32(1) / fcp)
-    vb1 = (wsum(cx, 1, cp) - fcp * x) * (F32(1) / fcp)
-    vb2 = (wsum(cy, 1, cp) - fcp * y) * (F32(1) / fcp)
-
+    # Windowed sums of (p_k - p_j) as direct shifted adds.  NOT cumsum
+    # differences: a running f32 cumsum of coordinates reaches ~1e5 where
+    # the ulp is ~4e-3, so the difference of two cumsum values loses ~1000x
+    # more precision than direct summation and can flip the angle test for
+    # near-collinear neighborhoods.  This form also matches the fused
+    # Pallas kernel term-for-term (bit-equality).
+    va1 = jnp.zeros_like(x)
+    va2 = jnp.zeros_like(x)
+    vb1 = jnp.zeros_like(x)
+    vb2 = jnp.zeros_like(x)
     absz = jnp.abs(z)
     max1 = absz
     max2 = absz
     for k in range(1, cp + 1):
+        va1 += sh(x, -k) - x
+        va2 += sh(y, -k) - y
+        vb1 += sh(x, k) - x
+        vb2 += sh(y, k) - y
         max1 = jnp.maximum(max1, sh(absz, -k))
         max2 = jnp.maximum(max2, sh(absz, k))
+    inv = F32(1) / F32(cp)
+    va1, va2, vb1, vb2 = va1 * inv, va2 * inv, vb1 * inv, vb2 * inv
 
     bracket = (va1 * vb1 + va2 * vb2) / (
         jnp.sqrt(va1 * va1 + va2 * va2) * jnp.sqrt(vb1 * vb1 + vb2 * vb2))

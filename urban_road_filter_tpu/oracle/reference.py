@@ -148,7 +148,10 @@ def star_shaped_search(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     neg = fi < 0  # note: -0.0 is NOT < 0, same as the C++
     fi = np.where(neg, (fi.astype(F64) + 2.0 * math.pi).astype(F32), fi)
     f = (fi * STAR_KFI).astype(np.int32)  # truncation toward zero
-    np.clip(f, 0, STAR_REP - 1, out=f)  # f == rep unreachable; guard anyway
+    # f == rep IS reachable (fi a few ulps below 2pi rounds up through the
+    # f32 multiply); the C++ routes it to beam 0 via the beamp[rep] sentinel
+    # (star_shaped_search.cpp:20,157,173).
+    f %= STAR_REP
 
     order = np.argsort(f, kind="stable")  # beams accumulate points in input order
     boundaries = np.searchsorted(f[order], np.arange(STAR_REP + 1))

@@ -180,10 +180,8 @@ def _extend_with_halo(layout: geometry.RingLayout, left, right, cp: int):
     r = layout.x.shape[0]
     p_ext = p + 3 * cp
     counts = layout.counts
-    # Left halo: right-align so its last column abuts local slot 0.
-    lidx = jnp.arange(cp)[None, :] + (jnp.minimum(left["n"], cp) - cp)[:, None]
-    lidx_c = jnp.clip(lidx, 0, cp - 1)
-
+    # left[name] is already right-aligned by _halo_exchange.compact (its
+    # last column abuts local slot 0) — use it as-is.
     rows = jnp.arange(r)[:, None]
     rcols = 2 * cp + counts[:, None] + jnp.arange(cp)[None, :]
     rmask = (jnp.arange(cp)[None, :] < right["n"][:, None]) & (rcols < p_ext)
@@ -192,9 +190,7 @@ def _extend_with_halo(layout: geometry.RingLayout, left, right, cp: int):
     ext = {}
     for name in ("x", "y", "z"):
         loc = getattr(layout, name)
-        lh = jnp.where(lidx >= 0,
-                       jnp.take_along_axis(left[name], lidx_c, axis=1), F32(0))
-        e = jnp.concatenate([jnp.zeros((r, cp), F32), lh, loc,
+        e = jnp.concatenate([jnp.zeros((r, cp), F32), left[name], loc,
                              jnp.zeros((r, cp), F32)], axis=1)
         e = e.at[rows, rcols_c].set(
             jnp.where(rmask, right[name], e[rows, rcols_c]))
@@ -212,7 +208,6 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
                          "(star beams may not straddle wedges)")
     n = dims.max_points
     per_wedge = n // n_wedges
-    rep_w = STAR_REP // n_wedges
     cp = int(cfg.curb_points)
 
     def wedge_fn(pts_w, idx_w):
@@ -227,8 +222,8 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
         # --- star-shaped: wedge-local (beams aligned to wedges) ---
         labels_pt = jnp.zeros((per_wedge,), I32)
         if cfg.star_shaped_method:
-            labels_pt = star_shaped(pts_w, valid, labels_pt, cfg,
-                                    max(dims.beam_capacity // 2, 64))
+            labels_pt, _star_of = star_shaped(pts_w, valid, labels_pt, cfg,
+                                              dims.beam_capacity)
 
         # --- global ring discovery ---
         _, alpha_v = geometry.vertical_angles(x, y, z)
@@ -358,7 +353,7 @@ def _x_zero_halo(layout, cfg, frame):
                   cfg)
     s, g_gate, exists, n_local = _stencil_frame_arrays(layout, frame, p_ext)
     src_ok = (g_gate & exists & jnp.roll(exists, -cp, axis=1)
-              & (s + 2 * cp < p_ext))  # no roll-wrap at the row end
+              & (s + 3 * cp < p_ext))  # window end col+cp stays in the row
     mark_new = (base.label == LABEL_CURB) & (layout.label != LABEL_CURB)
     src_gate_at_mark = jnp.roll(src_ok, cp // 2, axis=1)
     mark_local = (s >= 0) & (s < n_local)  # p2 must be a local point
@@ -376,7 +371,7 @@ def _z_zero_halo(layout, cfg, frame):
                   cfg)
     s, g_gate, exists, n_local = _stencil_frame_arrays(layout, frame, p_ext)
     window_ok = (jnp.roll(exists, cp, axis=1) & jnp.roll(exists, -cp, axis=1)
-                 & (s + 2 * cp < p_ext))
+                 & (s + 3 * cp < p_ext))  # window end col+cp stays in the row
     mask = (s >= 0) & (s < n_local) & g_gate & window_ok
     marked = (base.label == LABEL_CURB) & (layout.label != LABEL_CURB)
     new_label = jnp.where(marked & mask, LABEL_CURB, layout.label)

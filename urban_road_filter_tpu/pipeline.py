@@ -52,6 +52,7 @@ class ScanResult(NamedTuple):
     max_distance: jax.Array  # (CHANNELS,)
     markers: jax.Array  # (361, 6): exists, x, y, z, red, bin
     overflow: jax.Array  # int32: points dropped by ring-capacity
+    star_overflow: jax.Array  # int32: points dropped by star-beam capacity
     probably_road: jax.Array  # (N,) bool: ring #10 membership
 
 
@@ -65,8 +66,10 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
 
     labels_pt = jnp.zeros((n,), I32)
+    star_overflow = jnp.asarray(0, I32)
     if cfg.star_shaped_method:
-        labels_pt = star_shaped(pts, valid, labels_pt, cfg, dims.beam_capacity)
+        labels_pt, star_overflow = star_shaped(pts, valid, labels_pt, cfg,
+                                               dims.beam_capacity)
 
     _, alpha_v = geometry.vertical_angles(x, y, z)
     angles, num_rings = geometry.discover_rings(alpha_v, valid, cfg.interval)
@@ -114,9 +117,12 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
     markers = jnp.where(gate, markers, jnp.zeros_like(markers))
 
     return ScanResult(
-        ok=ok, roi=valid, labels=labels_out, ring_id=ring_id,
+        ok=ok, roi=valid & gate,  # a not-ok scan publishes NO topics,
+        # including the roi cloud (lidar_segmentation.cpp:124)
+        labels=labels_out, ring_id=ring_id,
         num_rings=num_rings, counts=layout.counts, max_distance=max_dist,
         markers=markers, overflow=layout.overflow,
+        star_overflow=star_overflow,
         probably_road=(ring_id == PROBABLY_ROAD_RING) & gate)
 
 

@@ -93,16 +93,22 @@ def build_line_strips(
     polysimp: float = 0.7,
     polyz: float = -1.5,
     zavg_allow: bool = True,
-) -> List[LineStrip]:
+) -> tuple:
     """Line-strip assembly (lidar_segmentation.cpp:417-589).
 
     marker_points: (cM, 4) [x, y, z, flag]; flags must already be smoothed.
     Requires cM > 2, like the reference (cpp:371).
+
+    Returns (strips, line_strip_id): line_strip_id is the C++ `lineStripID`
+    counter's final value — when the sequence ends on a color transition
+    (possible only for UN-smoothed flags) it is one past the last pushed
+    strip's id, and MarkerTracker needs exactly that value to reproduce the
+    reference's ghost-DELETE id range.
     """
     m = np.asarray(marker_points, dtype=np.float32)
     cm = m.shape[0]
     if cm <= 2:
-        return []
+        return [], 0
     flags = m[:, 3]
 
     # zavg: running mean of ALL marker z, float32 (cpp:436-438).
@@ -147,26 +153,32 @@ def build_line_strips(
         for s in strips:
             s.points = s.points.copy()
             s.points[:, 2] = zavg
-    return strips
+    return strips, strip_id
 
 
 class MarkerTracker:
     """Cross-scan ghost-marker removal (lidar_segmentation.cpp:23,591-598).
 
-    The only cross-scan state in the reference.  Emits DELETE strips for ids
-    (last_id+1 .. previous ghostcount), then records the new high-water mark.
+    The only cross-scan state in the reference.  The C++ loop pushes
+    `ghostcount - lineStripID` DELETE markers with ids counting up from the
+    last PUSHED strip's id + 1, then sets ghostcount = lineStripID.
     """
 
     def __init__(self) -> None:
         self.ghostcount = 0
 
-    def finalize(self, strips: List[LineStrip]) -> List[LineStrip]:
+    def finalize(self, strips: List[LineStrip],
+                 line_strip_id: int | None = None) -> List[LineStrip]:
         if not strips:
             return strips
-        last_id = strips[-1].id
+        last_pushed = strips[-1].id
+        if line_strip_id is None:
+            line_strip_id = last_pushed
         out = list(strips)
-        for del_id in range(last_id + 1, self.ghostcount + 1):
-            out.append(LineStrip(id=del_id, color="red",
-                                 points=np.zeros((0, 3), np.float32), action="delete"))
-        self.ghostcount = last_id
+        n_del = max(0, self.ghostcount - line_strip_id)
+        for k in range(n_del):
+            out.append(LineStrip(id=last_pushed + 1 + k, color="red",
+                                 points=np.zeros((0, 3), np.float32),
+                                 action="delete"))
+        self.ghostcount = line_strip_id
         return out
