@@ -1,0 +1,118 @@
+"""MXU matmul placement: grouped scatter as one-hot matrix products.
+
+`group_place(ids, pos, fields, num_groups, capacity)` materializes the
+padded (num_groups, capacity) layout for several fields at once:
+
+    out_f[r, s] = sum_i  field_f[i] * [ids_i == r] * [pos_i == s]
+
+Each (r, s) receives at most one point (ids/pos come from ops.rank), so the
+"sum" is pure selection and the result is exact.  XLA's TPU element-scatter
+moves ~0.6 GB/s (device-trace measured, PERF.md); this kernel instead
+streams input chunks through VMEM and accumulates ring_onehot @ (val *
+pos_onehot) MXU products into a VMEM-resident output — HBM sees each input
+element once and each output element once.
+
+Falls back to the unique-indices XLA scatter on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+_C = 512  # points per grid step (VMEM: out 2.6MB + pos_oh 4MB + A 0.7MB)
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _place_kernel(ids_ref, pos_ref, vals_ref, out_ref, *, n_groups_pad: int,
+                  col_w: int, n_fields: int):
+    step = pl.program_id(1)
+    col = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[0]  # (1, C)
+    pos = pos_ref[0]  # (1, C)
+    vals = vals_ref[0]  # (n_fields, C)
+
+    # The MXU's default f32 path truncates operands to one bf16 pass, which
+    # would mangle value mantissas (and Mosaic supports no HIGH precision).
+    # Decompose each value into three bf16-exact limbs (8+8+8 >= 24 mantissa
+    # bits): limb x exact {0,1} one-hot products accumulated in f32
+    # reconstruct the value bit-exactly — placement is selection, never
+    # true accumulation.  The three limb rows ride ONE matmul (M-stacked);
+    # the caller sums the row groups.
+    hi = vals.astype(jnp.bfloat16).astype(F32)
+    r1 = vals - hi
+    mid = r1.astype(jnp.bfloat16).astype(F32)
+    lo = r1 - mid  # <= 8 significant bits left: bf16-exact under DEFAULT
+    limbs = jnp.concatenate([hi, mid, lo], axis=0)  # (3F, C)
+
+    gid = jax.lax.broadcasted_iota(I32, (n_groups_pad, 1), 0)
+    ring_oh = (gid == ids).astype(F32)  # (G, C)
+    a = (limbs[:, None, :] * ring_oh[None, :, :]).reshape(
+        3 * n_fields * n_groups_pad, ids.shape[1])
+
+    # This grid instance owns output columns [col*col_w, (col+1)*col_w).
+    pos_col = pos.reshape(pos.shape[1], 1)  # (C, 1) relayout
+    sid = col * col_w + jax.lax.broadcasted_iota(I32, (1, col_w), 1)
+    pos_oh = (pos_col == sid).astype(F32)  # (C, col_w)
+
+    out_ref[...] += jnp.dot(a, pos_oh, preferred_element_type=F32)
+
+
+def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int):
+    """fields: list of (N,) arrays (cast to f32; exact for int32 |v|<2^24).
+    Returns list of (num_groups, capacity) f32 arrays."""
+    n = ids.shape[0]
+    nf = len(fields)
+    g_pad = _round_up(num_groups, 8)
+    n_pad = _round_up(n, _C)
+    pad_id = I32(g_pad)  # out-of-range group -> contributes nowhere
+
+    def prep_row(a, fill, dtype):
+        return jnp.full((n_pad,), fill, dtype).at[:n].set(
+            a.astype(dtype)).reshape(n_pad // _C, 1, _C)
+
+    ids2 = prep_row(ids, pad_id, I32)
+    pos2 = prep_row(pos, I32(capacity), I32)
+    vals2 = jnp.stack([jnp.full((n_pad,), 0.0, F32).at[:n].set(
+        f.astype(F32)) for f in fields], axis=0)  # (F, n_pad)
+    vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)  # (S, F, C)
+
+    # Split the output into column panels so the (3F*G, col_w) out block +
+    # (C, col_w) one-hot fit VMEM alongside the A tile.
+    col_w = min(capacity, 512)
+    n_cols = capacity // col_w
+    out = pl.pallas_call(
+        functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
+                          n_fields=nf),
+        grid=(n_cols, n_pad // _C),
+        in_specs=[
+            pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nf, _C), lambda c, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * nf * g_pad, col_w), lambda c, i: (0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * nf * g_pad, capacity), F32),
+    )(ids2, pos2, vals2)
+    # Sum the three limb row-groups (exact reconstruction).
+    fg = nf * g_pad
+    total = out[:fg] + out[fg:2 * fg] + out[2 * fg:]
+    return [total[f * g_pad:f * g_pad + num_groups] for f in range(nf)]

@@ -70,10 +70,11 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     fk = jnp.where(keep, f, I32(STAR_REP))
     pos, counts_all = group_positions(fk, STAR_REP + 1)
 
+    # (Matmul placement is a poor fit here: 360 groups x 3 limbs blow the
+    # VMEM budget for the A tile; the unique-indices scatter stays.)
     fits = (fk < STAR_REP) & (pos < k_cap)
-    # Unique dump slots -> fast unique-indices scatter path (see
-    # geometry.tensorize).
-    dst = jnp.where(fits, fk * I32(k_cap) + pos, I32(STAR_REP * k_cap) + iota)
+    dst = jnp.where(fits, fk * I32(k_cap) + pos,
+                    I32(STAR_REP * k_cap) + iota)
 
     def scatter(vals, fill, dtype):
         buf = jnp.full((STAR_REP * k_cap + n,), fill, dtype)
@@ -82,7 +83,7 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
 
     r_b = scatter(r, jnp.inf, F32)
     z_b = scatter(z, 0.0, F32)
-    pid_b = scatter(iota, n, I32)
+    pid_b = scatter(iota, -1, I32)
     counts = jnp.minimum(counts_all[:STAR_REP], k_cap)
 
     # --- per-beam radial sort (cpp:109); stable, invalid slots at +inf ---
