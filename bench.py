@@ -53,6 +53,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     assert int(np.asarray(out.overflow).max()) == 0, "ring capacity overflow"
+    assert int(np.asarray(out.star_overflow).max()) == 0, "beam capacity overflow"
     scans_per_sec = batch / dt
     p50_latency_ms = dt * 1000.0  # per-batch step latency
 

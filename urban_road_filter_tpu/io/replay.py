@@ -185,7 +185,11 @@ class ReplayHarness:
         return self.metrics
 
     def _postprocess(self, raw, out, latency_ms: float) -> ScanOutputs:
-        n_in = len(raw)
+        # Scans larger than dims.max_points are truncated by pad_scan;
+        # postprocess the processed prefix (the truncation is visible in
+        # stats as points_in < len(raw)).
+        n_in = min(len(raw), self.dims.max_points)
+        raw = raw[:n_in]
         labels = np.asarray(out.labels)[:n_in]
         roi = np.asarray(out.roi)[:n_in]
         prob = np.asarray(out.probably_road)[:n_in]
