@@ -130,6 +130,19 @@ class TestReplay:
                max_scans=1)
         assert seen == [0]  # config hash mismatch -> stream restarted
 
+    def test_scan_larger_than_capacity_truncates(self):
+        # Sensors can emit more returns than max_points; the harness must
+        # process the truncated prefix, not crash on index mismatch.
+        big = make_scan(SCENES["flat"](), n_rings=24, n_azimuth=384, seed=3)
+        assert len(big) > DIMS.max_points
+        got = []
+        h = ReplayHarness(dims=DIMS, on_scan=got.append)
+        h.run(iter([big]), max_scans=1)
+        o = got[0]
+        assert o.ok
+        assert o.stats.points_in == DIMS.max_points
+        assert len(o.roi) <= DIMS.max_points
+
     def test_viz_renders(self, tmp_path):
         pytest.importorskip("matplotlib")
         from urban_road_filter_tpu.viz import save_scan_png
