@@ -146,7 +146,8 @@ def tensorize(x, y, z, d2, alpha, label, ring_id, ring_capacity: int) -> RingLay
         from urban_road_filter_tpu.ops.place import group_place_pallas
 
         lx, ly, lz, llbl, lpid = group_place_pallas(
-            ring_id, pos, [x, y, z, label, iota + 1], CHANNELS, p)
+            ring_id, pos, [x, y, z, label, iota + 1], CHANNELS, p,
+            limb_counts=(3, 3, 3, 1, 3))  # labels are {0,1,2}: 1 limb
         lbl_i = llbl.astype(I32)
         pid_i = lpid.astype(I32) - 1
     else:

@@ -35,7 +35,7 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _place_kernel(ids_ref, pos_ref, vals_ref, out_ref, *, n_groups_pad: int,
-                  col_w: int, n_fields: int):
+                  col_w: int, n_fields: int, limb_counts: tuple):
     step = pl.program_id(1)
     col = pl.program_id(0)
 
@@ -49,21 +49,28 @@ def _place_kernel(ids_ref, pos_ref, vals_ref, out_ref, *, n_groups_pad: int,
 
     # The MXU's default f32 path truncates operands to one bf16 pass, which
     # would mangle value mantissas (and Mosaic supports no HIGH precision).
-    # Decompose each value into three bf16-exact limbs (8+8+8 >= 24 mantissa
-    # bits): limb x exact {0,1} one-hot products accumulated in f32
-    # reconstruct the value bit-exactly — placement is selection, never
-    # true accumulation.  The three limb rows ride ONE matmul (M-stacked);
-    # the caller sums the row groups.
+    # Decompose each value into bf16-exact limbs (8 mantissa bits each;
+    # 3 limbs cover full f32, small-range fields declare fewer): limb x
+    # exact {0,1} one-hot products accumulated in f32 reconstruct the value
+    # bit-exactly — placement is selection, never true accumulation.  All
+    # limb rows ride ONE matmul (M-stacked); the caller sums its row groups.
     hi = vals.astype(jnp.bfloat16).astype(F32)
     r1 = vals - hi
     mid = r1.astype(jnp.bfloat16).astype(F32)
     lo = r1 - mid  # <= 8 significant bits left: bf16-exact under DEFAULT
-    limbs = jnp.concatenate([hi, mid, lo], axis=0)  # (3F, C)
+    rows = []
+    for f, nl in enumerate(limb_counts):
+        rows.append(hi[f:f + 1])
+        if nl >= 2:
+            rows.append(mid[f:f + 1])
+        if nl >= 3:
+            rows.append(lo[f:f + 1])
+    limbs = jnp.concatenate(rows, axis=0)  # (sum(limb_counts), C)
 
     gid = jax.lax.broadcasted_iota(I32, (n_groups_pad, 1), 0)
     ring_oh = (gid == ids).astype(F32)  # (G, C)
     a = (limbs[:, None, :] * ring_oh[None, :, :]).reshape(
-        3 * n_fields * n_groups_pad, ids.shape[1])
+        sum(limb_counts) * n_groups_pad, ids.shape[1])
 
     # This grid instance owns output columns [col*col_w, (col+1)*col_w).
     pos_col = pos.reshape(pos.shape[1], 1)  # (C, 1) relayout
@@ -73,11 +80,15 @@ def _place_kernel(ids_ref, pos_ref, vals_ref, out_ref, *, n_groups_pad: int,
     out_ref[...] += jnp.dot(a, pos_oh, preferred_element_type=F32)
 
 
-def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int):
+def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
+                       limb_counts=None):
     """fields: list of (N,) arrays (cast to f32; exact for int32 |v|<2^24).
+    limb_counts: per-field bf16 limb count (1 suffices for values needing
+    <=8 mantissa bits, e.g. small label enums; default 3 = full f32).
     Returns list of (num_groups, capacity) f32 arrays."""
     n = ids.shape[0]
     nf = len(fields)
+    limb_counts = tuple(limb_counts or (3,) * nf)
     g_pad = _round_up(num_groups, 8)
     n_pad = _round_up(n, _C)
     pad_id = I32(g_pad)  # out-of-range group -> contributes nowhere
@@ -96,9 +107,10 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int):
     # (C, col_w) one-hot fit VMEM alongside the A tile.
     col_w = min(capacity, 512)
     n_cols = capacity // col_w
+    n_rows = sum(limb_counts)
     out = pl.pallas_call(
         functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
-                          n_fields=nf),
+                          n_fields=nf, limb_counts=limb_counts),
         grid=(n_cols, n_pad // _C),
         in_specs=[
             pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0),
@@ -108,11 +120,17 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int):
             pl.BlockSpec((1, nf, _C), lambda c, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3 * nf * g_pad, col_w), lambda c, i: (0, c),
+        out_specs=pl.BlockSpec((n_rows * g_pad, col_w), lambda c, i: (0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3 * nf * g_pad, capacity), F32),
+        out_shape=jax.ShapeDtypeStruct((n_rows * g_pad, capacity), F32),
     )(ids2, pos2, vals2)
-    # Sum the three limb row-groups (exact reconstruction).
-    fg = nf * g_pad
-    total = out[:fg] + out[fg:2 * fg] + out[2 * fg:]
-    return [total[f * g_pad:f * g_pad + num_groups] for f in range(nf)]
+    # Sum each field's limb row-groups (exact reconstruction).
+    results = []
+    row = 0
+    for nl in limb_counts:
+        total = out[row * g_pad:(row + 1) * g_pad]
+        for k in range(1, nl):
+            total = total + out[(row + k) * g_pad:(row + k + 1) * g_pad]
+        results.append(total[:num_groups])
+        row += nl
+    return results
