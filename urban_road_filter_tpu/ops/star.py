@@ -70,8 +70,10 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     fk = jnp.where(keep, f, I32(STAR_REP))
     pos, counts_all = group_positions(fk, STAR_REP + 1)
 
-    # (Matmul placement is a poor fit here: 360 groups x 3 limbs blow the
-    # VMEM budget for the A tile; the unique-indices scatter stays.)
+    # Matmul placement is a measured loss here (113.6 vs 118.4 scans/s):
+    # 360 groups exceed the VMEM A-tile in one pass, and group-panelled
+    # calls re-stream all N inputs per panel.  The unique-indices scatter
+    # stays (see PERF.md).
     fits = (fk < STAR_REP) & (pos < k_cap)
     dst = jnp.where(fits, fk * I32(k_cap) + pos,
                     I32(STAR_REP * k_cap) + iota)
