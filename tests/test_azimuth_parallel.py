@@ -51,6 +51,29 @@ def test_sp_matches_single_device(scene, mesh8):
     assert np.mean(same) >= 0.97, f"{scene}: marker rows {np.mean(same):.3f}"
 
 
+def test_sp_overflow_counter_surfaced(mesh8):
+    # All points crammed into one wedge must overflow per-wedge capacity and
+    # be COUNTED, not silently dropped (ADVICE r1; PARITY.md item 7).
+    cfg = FilterConfig()
+    rng = np.random.default_rng(3)
+    n = DIMS.max_points
+    # per_wedge = max_points / 8; put ~2x that many valid points at ~12 deg.
+    m = n // 4
+    pts = np.zeros((n, 4), np.float32)
+    pts[:m, 0] = rng.uniform(5.0, 9.0, m)
+    pts[:m, 1] = -pts[:m, 0] * np.float32(np.tan(np.radians(12.0)))
+    pts[:m, 2] = -1.2
+    out = make_azimuth_pipeline(mesh8, cfg, DIMS)(jax.numpy.asarray(pts))
+    assert int(out["overflow"]) == m - n // 8
+
+    # And a balanced scan reports zero.
+    scan = alpha_sorted(make_scan(SCENES["flat"](), n_rings=16, n_azimuth=384,
+                                  seed=5))
+    out2 = make_azimuth_pipeline(mesh8, cfg, DIMS)(
+        jax.numpy.asarray(pad_scan(scan, DIMS.max_points)))
+    assert int(out2["overflow"]) == 0
+
+
 def test_sp_bad_wedge_count_rejected(mesh8):
     with pytest.raises(ValueError):
         make_azimuth_pipeline(make_mesh(n_data=1, n_azimuth=7), FilterConfig(),

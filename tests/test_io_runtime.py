@@ -56,6 +56,38 @@ class TestPcd:
         got = read_pcd(p, use_native=False)
         np.testing.assert_allclose(got, [[1, 2, 3, 0], [4, 5, 6, 0]])
 
+    def test_native_rejects_hostile_header(self, tmp_path):
+        # A corrupt/hostile POINTS value must return an error code, not
+        # drive an unchecked multi-GB allocation (ADVICE r1).
+        from urban_road_filter_tpu.runtime.native import get_lib, read_pcd_native
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        head = (b"VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                b"COUNT 1 1 1\nWIDTH 1\nHEIGHT 1\nPOINTS %s\nDATA binary\n")
+        for bad in (b"99999999999999", b"-5", b"0"):
+            p = tmp_path / "bad.pcd"
+            with open(p, "wb") as f:
+                f.write(head % bad)
+                f.write(b"\x00" * 12)  # one point's worth of payload
+            with pytest.raises(ValueError):
+                read_pcd_native(str(p))
+
+    def test_native_truncated_binary_rejected(self, tmp_path):
+        # Declared POINTS larger than the actual payload -> header error.
+        from urban_road_filter_tpu.runtime.native import get_lib, read_pcd_native
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        p = tmp_path / "short.pcd"
+        with open(p, "wb") as f:
+            f.write(b"VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                    b"COUNT 1 1 1\nWIDTH 100\nHEIGHT 1\nPOINTS 100\n"
+                    b"DATA binary\n")
+            f.write(b"\x00" * (12 * 10))  # only 10 of 100 points present
+        with pytest.raises(ValueError):
+            read_pcd_native(str(p))
+
     def test_npz_sequence(self, tmp_path):
         scans = [np.random.rand(100 + i, 4).astype(np.float32) for i in range(3)]
         p = tmp_path / "seq.npz"

@@ -1,0 +1,181 @@
+"""Interpret-mode unit tests for the Pallas TPU kernels.
+
+The production TPU path (ops/place.py, ops/rank.py, ops/pallas_kernels.py)
+is exercised here via `interpret=True` on the CPU test backend and asserted
+bit-equal to the XLA fallback implementations — including the NaN, overflow
+and empty-ring edge cases (ADVICE r1: the kernels were previously covered
+only by manual on-device spot checks).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from urban_road_filter_tpu.config import FilterConfig
+from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
+from urban_road_filter_tpu.ops import geometry
+from urban_road_filter_tpu.ops.place import group_place_pallas
+from urban_road_filter_tpu.ops.rank import _pallas_rank, _xla_rank
+
+F32 = np.float32
+I32 = np.int32
+
+
+def _scatter_reference(ids, pos, fields, num_groups, capacity):
+    """The XLA unique-indices scatter placement (ops/geometry.tensorize
+    non-TPU path) as a NumPy oracle."""
+    outs = [np.zeros((num_groups, capacity), F32) for _ in fields]
+    for i in range(len(ids)):
+        g, p = int(ids[i]), int(pos[i])
+        if 0 <= g < num_groups and 0 <= p < capacity:
+            for f, o in zip(fields, outs):
+                o[g, p] = F32(f[i])
+    return outs
+
+
+class TestGroupPlaceInterpret:
+    def _random_case(self, rng, n, num_groups, capacity):
+        ids = rng.integers(0, num_groups + 2, n).astype(I32)  # some dropped
+        pos_list = np.zeros(n, I32)
+        counts = {}
+        for i, g in enumerate(ids):
+            pos_list[i] = counts.get(int(g), 0)
+            counts[int(g)] = pos_list[i] + 1
+        vals = [rng.standard_normal(n).astype(F32) * 100,
+                rng.standard_normal(n).astype(F32),
+                rng.integers(0, 3, n).astype(F32)]
+        return ids, pos_list, vals
+
+    def test_matches_scatter(self):
+        rng = np.random.default_rng(0)
+        n, g, cap = 2048, 24, 1024
+        ids, pos, vals = self._random_case(rng, n, g, cap)
+        want = _scatter_reference(ids, pos, vals, g, cap)
+        got = group_place_pallas(jnp.asarray(ids), jnp.asarray(pos),
+                                 [jnp.asarray(v) for v in vals], g, cap,
+                                 limb_counts=(3, 3, 1), interpret=True)
+        for w, o in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(o), w)
+
+    def test_nan_on_dropped_points_does_not_poison(self):
+        # ADVICE r1 (high): NaN coordinates of DROPPED points (ids out of
+        # range, e.g. real PCD NaN returns that fail roi_mask) must not leak
+        # into any output element through the one-hot matmul.
+        rng = np.random.default_rng(1)
+        n, g, cap = 1024, 8, 256
+        ids, pos, vals = self._random_case(rng, n, g, cap)
+        dropped = ids >= g
+        assert dropped.any()
+        for v in vals:
+            v[dropped] = np.nan
+        want = _scatter_reference(ids, pos, vals, g, cap)
+        got = group_place_pallas(jnp.asarray(ids), jnp.asarray(pos),
+                                 [jnp.asarray(v) for v in vals], g, cap,
+                                 interpret=True)
+        for w, o in zip(want, got):
+            o = np.asarray(o)
+            assert np.isfinite(o).all()
+            np.testing.assert_array_equal(o, w)
+
+    def test_over_capacity_points_dropped(self):
+        # pos >= capacity (ring overflow) must contribute nowhere, even with
+        # non-finite values.
+        n, g, cap = 512, 4, 128
+        ids = np.zeros(n, I32)
+        pos = np.arange(n, dtype=I32)  # n > cap: tail overflows
+        vals = [np.arange(n, dtype=F32)]
+        vals[0][cap:] = np.inf
+        want = _scatter_reference(ids, pos, vals, g, cap)
+        got = group_place_pallas(jnp.asarray(ids), jnp.asarray(pos),
+                                 [jnp.asarray(vals[0])], g, cap,
+                                 interpret=True)
+        o = np.asarray(got[0])
+        assert np.isfinite(o).all()
+        np.testing.assert_array_equal(o, want[0])
+
+    def test_full_f32_values_exact(self):
+        # 3-limb decomposition must reconstruct arbitrary f32 bit patterns.
+        rng = np.random.default_rng(2)
+        n, g, cap = 512, 8, 128
+        ids = rng.integers(0, g, n).astype(I32)
+        pos = np.zeros(n, I32)
+        counts = {}
+        for i, gid in enumerate(ids):
+            pos[i] = counts.get(int(gid), 0)
+            counts[int(gid)] = pos[i] + 1
+        v = (rng.standard_normal(n) * np.exp(rng.uniform(-20, 20, n))).astype(F32)
+        want = _scatter_reference(ids, pos, [v], g, cap)
+        got = group_place_pallas(jnp.asarray(ids), jnp.asarray(pos),
+                                 [jnp.asarray(v)], g, cap, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+
+
+class TestRankInterpret:
+    @pytest.mark.parametrize("n,groups,seed", [(300, 5, 0), (4096, 65, 1),
+                                               (5000, 361, 2)])
+    def test_matches_xla(self, n, groups, seed):
+        rng = np.random.default_rng(seed)
+        ids = jnp.asarray(rng.integers(0, groups, n).astype(I32))
+        pos_p, cnt_p = _pallas_rank(ids, groups, interpret=True)
+        pos_x, cnt_x = _xla_rank(ids, groups)
+        np.testing.assert_array_equal(np.asarray(pos_p), np.asarray(pos_x))
+        np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
+
+    def test_single_group(self):
+        ids = jnp.zeros(1000, jnp.int32)
+        pos, cnt = _pallas_rank(ids, 4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(pos), np.arange(1000))
+        np.testing.assert_array_equal(np.asarray(cnt), [1000, 0, 0, 0])
+
+
+class TestFusedXZZeroInterpret:
+    def _layout(self, scene="two_curbs", seed=0):
+        cfg = FilterConfig()
+        pts = make_scan(SCENES[scene](), n_rings=16, n_azimuth=256, seed=seed)
+        pts = jnp.asarray(pts[:4096, :4].astype(F32))
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        valid = geometry.roi_mask(pts, cfg)
+        _, av = geometry.vertical_angles(x, y, z)
+        angles, _ = geometry.discover_rings(av, valid, cfg.interval)
+        ring_id = geometry.assign_rings(av, valid, angles, cfg.interval)
+        d2, aa = geometry.azimuth_2d(x, y)
+        lbl = jnp.zeros(x.shape, jnp.int32)
+        return geometry.tensorize(x, y, z, d2, aa, lbl, ring_id, 256), cfg
+
+    def test_matches_xla_stencils(self):
+        from urban_road_filter_tpu.ops.pallas_kernels import fused_xz_zero
+        from urban_road_filter_tpu.ops.xzero import x_zero
+        from urban_road_filter_tpu.ops.zzero import z_zero
+
+        layout, cfg = self._layout()
+        want = np.asarray(z_zero(x_zero(layout, cfg), cfg).label)
+        got = np.asarray(fused_xz_zero(layout, cfg, interpret=True).label)
+        assert want.max() > 0  # the scene must actually trigger marks
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty_and_short_rings(self):
+        # Rings with 0 or < 2*curb_points+1 points must produce no marks and
+        # no NaN contamination of neighbouring rows.
+        from urban_road_filter_tpu.ops.pallas_kernels import fused_xz_zero
+        from urban_road_filter_tpu.ops.xzero import x_zero
+        from urban_road_filter_tpu.ops.zzero import z_zero
+
+        cfg = FilterConfig()
+        rng = np.random.default_rng(3)
+        n = 512
+        # Ring 0: many points; ring 1: 3 points (short); ring 2+: empty.
+        ring_id = np.zeros(n, I32)
+        ring_id[200:203] = 1
+        x = rng.standard_normal(n).astype(F32)
+        y = rng.standard_normal(n).astype(F32)
+        z = (rng.standard_normal(n) * 0.3).astype(F32)
+        d2, aa = geometry.azimuth_2d(jnp.asarray(x), jnp.asarray(y))
+        layout = geometry.tensorize(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), d2, aa,
+            jnp.zeros(n, jnp.int32), jnp.asarray(ring_id), 512)
+        want = np.asarray(z_zero(x_zero(layout, cfg), cfg).label)
+        got = np.asarray(fused_xz_zero(layout, cfg, interpret=True).label)
+        np.testing.assert_array_equal(got, want)
+        assert got[1].max() == 0 and got[2:].max() == 0

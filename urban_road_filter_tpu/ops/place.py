@@ -81,10 +81,14 @@ def _place_kernel(ids_ref, pos_ref, vals_ref, out_ref, *, n_groups_pad: int,
 
 
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
-                       limb_counts=None):
+                       limb_counts=None, interpret: bool = False):
     """fields: list of (N,) arrays (cast to f32; exact for int32 |v|<2^24).
     limb_counts: per-field bf16 limb count (1 suffices for values needing
     <=8 mantissa bits, e.g. small label enums; default 3 = full f32).
+    Values of non-landing points (dropped group / over-capacity) are zeroed
+    internally; values of LANDING points must be finite (a landing NaN/Inf
+    would poison its whole group row through the one-hot product — the
+    pipeline guarantees this because roi_mask drops non-finite coordinates).
     Returns list of (num_groups, capacity) f32 arrays."""
     n = ids.shape[0]
     nf = len(fields)
@@ -99,8 +103,14 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
 
     ids2 = prep_row(ids, pad_id, I32)
     pos2 = prep_row(pos, I32(capacity), I32)
+    # Points that land nowhere (dropped group / over-capacity) contribute via
+    # a zero one-hot row — but a non-finite VALUE would still poison the
+    # whole product (NaN * 0 == NaN inside jnp.dot).  Real PCD clouds contain
+    # NaN returns, so zero the values of every non-landing point.
+    lands = (ids < I32(num_groups)) & (pos < I32(capacity))
     vals2 = jnp.stack([jnp.full((n_pad,), 0.0, F32).at[:n].set(
-        f.astype(F32)) for f in fields], axis=0)  # (F, n_pad)
+        jnp.where(lands, f.astype(F32), F32(0))) for f in fields],
+        axis=0)  # (F, n_pad)
     vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)  # (S, F, C)
 
     # Split the output into column panels so the (3F*G, col_w) out block +
@@ -123,6 +133,7 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
         out_specs=pl.BlockSpec((n_rows * g_pad, col_w), lambda c, i: (0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows * g_pad, capacity), F32),
+        interpret=interpret,
     )(ids2, pos2, vals2)
     # Sum each field's limb row-groups (exact reconstruction).
     results = []

@@ -35,7 +35,7 @@ import math
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from urban_road_filter_tpu.config import FilterConfig, PipelineDims
@@ -284,10 +284,15 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
 
     spec_pts = P(AX, None)
     spec_idx = P(AX)
-    out_spec = dict(ok=P(), labels=P(), num_rings=P(), markers=P(), piece=P())
+    wedge_out_spec = dict(ok=P(), labels=P(), num_rings=P(), markers=P(),
+                          piece=P())
+    # The jitted wrapper adds `overflow`: points dropped by the per-wedge
+    # capacity (ADVICE r1: skewed azimuth density makes this reachable; the
+    # single-device path surfaces ScanResult.overflow, so must SP).
+    out_spec = dict(wedge_out_spec, overflow=P())
     sharded = shard_map(wedge_fn, mesh=mesh,
-                        in_specs=(spec_pts, spec_idx), out_specs=out_spec,
-                        check_rep=False)
+                        in_specs=(spec_pts, spec_idx),
+                        out_specs=wedge_out_spec, check_vma=False)
 
     @functools.partial(jax.jit,
                        out_shardings=jax.tree_util.tree_map(
@@ -305,6 +310,8 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
                                   jnp.cumsum(counts)[:-1].astype(I32)])
         pos = iota - starts[w[order]]
         fits = (w[order] < n_wedges) & (pos < per_wedge)
+        overflow = jnp.sum((w[order] < n_wedges) & (pos >= per_wedge)
+                           ).astype(I32)
         dst = jnp.where(fits, w[order] * I32(per_wedge) + pos,
                         I32(n_wedges * per_wedge))
         pts_w = jnp.zeros((n_wedges * per_wedge + 1, 4), F32).at[dst].set(
@@ -315,7 +322,7 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
             pts_w, NamedSharding(mesh, P(AX, None)))
         idx_w = jax.lax.with_sharding_constraint(
             idx_w, NamedSharding(mesh, P(AX)))
-        return sharded(pts_w, idx_w)
+        return dict(sharded(pts_w, idx_w), overflow=overflow)
 
     return run
 

@@ -49,9 +49,12 @@ def smooth_marker_flags(flags: np.ndarray) -> np.ndarray:
 
 
 def rdp(points: np.ndarray, eps: float) -> np.ndarray:
-    """Ramer-Douglas-Peucker on an (n, 2) polyline, perpendicular-distance
-    criterion (the boost::geometry::simplify default strategy,
-    lidar_segmentation.cpp:475)."""
+    """Ramer-Douglas-Peucker on an (n, 2) polyline, point-to-SEGMENT
+    distance (the boost::geometry::simplify default douglas_peucker strategy
+    uses projected_point, which clamps the projection to the segment and
+    falls back to endpoint distance — lidar_segmentation.cpp:475; ADVICE r1:
+    infinite-line distance diverges on polylines that double back past a
+    segment end)."""
     pts = np.asarray(points, dtype=np.float64)
     n = pts.shape[0]
     if n < 3:
@@ -64,12 +67,14 @@ def rdp(points: np.ndarray, eps: float) -> np.ndarray:
         if b - a < 2:
             continue
         seg = pts[b] - pts[a]
-        L = np.hypot(*seg)
+        l2 = float(seg @ seg)
         mid = pts[a + 1:b] - pts[a]
-        if L == 0.0:
+        if l2 == 0.0:
             dist = np.hypot(mid[:, 0], mid[:, 1])
         else:
-            dist = np.abs(seg[0] * mid[:, 1] - seg[1] * mid[:, 0]) / L
+            t = np.clip((mid @ seg) / l2, 0.0, 1.0)
+            diff = mid - t[:, None] * seg
+            dist = np.hypot(diff[:, 0], diff[:, 1])
         imax = int(np.argmax(dist))
         if dist[imax] > eps:
             k = a + 1 + imax

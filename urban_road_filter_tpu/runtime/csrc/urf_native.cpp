@@ -108,6 +108,24 @@ long urf_read_pcd(const char* path, float* out, long capacity) {
   if (!f) return -1;
   PcdHeader h;
   if (!parse_header(f, &h)) { fclose(f); return -2; }
+  // Never trust the header (a corrupt/hostile POINTS value must not drive
+  // an unchecked allocation): require a positive count and stride, and for
+  // binary data require points*stride to fit in the bytes actually present
+  // after the header.
+  if (h.points <= 0 || h.point_stride <= 0) { fclose(f); return -2; }
+  if (h.data == "binary") {
+    if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -2; }
+    long file_end = ftell(f);
+    if (file_end < 0 || fseek(f, h.header_end, SEEK_SET) != 0) {
+      fclose(f);
+      return -2;
+    }
+    long remaining = file_end - h.header_end;
+    if (remaining < 0 || h.points > remaining / h.point_stride) {
+      fclose(f);
+      return -2;
+    }
+  }
 
   int off_x = -1, off_y = -1, off_z = -1, off_i = -1;
   int fx = -1, fy = -1, fz = -1, fi = -1;
