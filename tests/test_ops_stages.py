@@ -61,10 +61,10 @@ class TestGeometryStages:
         n = 64
         ring_id = jnp.asarray(np.zeros(n, np.int32))
         vals = jnp.asarray(np.arange(n, dtype=np.float32))
-        lay = geometry.tensorize(vals, vals, vals, vals, vals,
-                                 jnp.zeros(n, jnp.int32), ring_id, 128)
+        lay, pos = geometry.tensorize(vals, vals, vals, ring_id, 128)
         got = np.asarray(lay.x[0, :n])
         np.testing.assert_array_equal(got, np.arange(n))
+        np.testing.assert_array_equal(np.asarray(pos), np.arange(n))
         assert int(lay.counts[0]) == n
         assert int(lay.overflow) == 0
 
@@ -72,10 +72,25 @@ class TestGeometryStages:
         n = 64
         ring_id = jnp.zeros(n, jnp.int32)
         vals = jnp.ones(n, jnp.float32)
-        lay = geometry.tensorize(vals, vals, vals, vals, vals,
-                                 jnp.zeros(n, jnp.int32), ring_id, 16)
+        lay, _ = geometry.tensorize(vals, vals, vals, ring_id, 16)
         assert int(lay.counts[0]) == 16
         assert int(lay.overflow) == n - 16
+
+    def test_tensorize_optional_fields(self):
+        n = 32
+        ring_id = jnp.zeros(n, jnp.int32)
+        vals = jnp.asarray(np.arange(n, dtype=np.float32))
+        lbl = jnp.asarray((np.arange(n) % 3).astype(np.int32))
+        lay, _ = geometry.tensorize(vals, vals, vals, ring_id, 64,
+                                    label=lbl, with_pid=True)
+        np.testing.assert_array_equal(np.asarray(lay.label[0, :n]),
+                                      np.arange(n) % 3)
+        np.testing.assert_array_equal(np.asarray(lay.pid[0, :n]), np.arange(n))
+        assert int(lay.pid[0, n]) == -1  # empty slot sentinel
+        # Defaults: label zeros, pid -1.
+        lay2, _ = geometry.tensorize(vals, vals, vals, ring_id, 64)
+        assert int(np.asarray(lay2.label).max()) == 0
+        assert int(np.asarray(lay2.pid).max()) == -1
 
 
 class TestStarStage:

@@ -112,6 +112,25 @@ class TestGroupPlaceInterpret:
         np.testing.assert_array_equal(np.asarray(got[0]), want[0])
 
 
+class TestGatherInterpret:
+    @pytest.mark.parametrize("pack", [1, 4])
+    def test_matches_fancy_index(self, pack):
+        from urban_road_filter_tpu.ops.gather import gather_by_group_pos
+
+        rng = np.random.default_rng(7)
+        g, cap, n = 64, 256, 3000
+        table = rng.integers(0, 3, (g, cap)).astype(F32)
+        ids = rng.integers(0, g + 2, n).astype(I32)  # some out of range
+        pos = rng.integers(0, cap, n).astype(I32)
+        pos[::37] = cap  # the over-capacity sentinel value
+        want = np.where((ids < g) & (pos < cap),
+                        table[np.clip(ids, 0, g - 1),
+                              np.clip(pos, 0, cap - 1)], 0)
+        got = gather_by_group_pos(jnp.asarray(table), jnp.asarray(ids),
+                                  jnp.asarray(pos), interpret=True, pack=pack)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
 class TestRankInterpret:
     @pytest.mark.parametrize("n,groups,seed", [(300, 5, 0), (4096, 65, 1),
                                                (5000, 361, 2)])
@@ -140,9 +159,8 @@ class TestFusedXZZeroInterpret:
         _, av = geometry.vertical_angles(x, y, z)
         angles, _ = geometry.discover_rings(av, valid, cfg.interval)
         ring_id = geometry.assign_rings(av, valid, angles, cfg.interval)
-        d2, aa = geometry.azimuth_2d(x, y)
-        lbl = jnp.zeros(x.shape, jnp.int32)
-        return geometry.tensorize(x, y, z, d2, aa, lbl, ring_id, 256), cfg
+        layout, _ = geometry.tensorize(x, y, z, ring_id, 256)
+        return layout, cfg
 
     def test_matches_xla_stencils(self):
         from urban_road_filter_tpu.ops.pallas_kernels import fused_xz_zero
@@ -171,10 +189,9 @@ class TestFusedXZZeroInterpret:
         x = rng.standard_normal(n).astype(F32)
         y = rng.standard_normal(n).astype(F32)
         z = (rng.standard_normal(n) * 0.3).astype(F32)
-        d2, aa = geometry.azimuth_2d(jnp.asarray(x), jnp.asarray(y))
-        layout = geometry.tensorize(
-            jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), d2, aa,
-            jnp.zeros(n, jnp.int32), jnp.asarray(ring_id), 512)
+        layout, _ = geometry.tensorize(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(z),
+            jnp.asarray(ring_id), 512)
         want = np.asarray(z_zero(x_zero(layout, cfg), cfg).label)
         got = np.asarray(fused_xz_zero(layout, cfg, interpret=True).label)
         np.testing.assert_array_equal(got, want)

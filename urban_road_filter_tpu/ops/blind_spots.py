@@ -125,7 +125,10 @@ def labeled_mask(alpha, a_ok, reach, lo, hi):
 
 def blind_spots(layout: RingLayout, max_dist: jax.Array, num_rings: jax.Array,
                 cfg: FilterConfig) -> RingLayout:
-    """layout must be azimuth-sorted (geometry.sort_by_azimuth)."""
+    """Order-free: every window test compares a slot's own azimuth against
+    per-(ring, start) bounds and every reduction is over slot sets, so the
+    layout may be in raw tensorize order (round 2: the azimuth sort now
+    feeds only the marker stage)."""
     alpha, label, counts = layout.alpha, layout.label, layout.counts
     p = alpha.shape[1]
     slot = jnp.arange(p)[None, :]

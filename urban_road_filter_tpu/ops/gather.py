@@ -1,0 +1,117 @@
+"""MXU table-gather: per-point lookup from a small (groups, capacity) table.
+
+    out[i] = table[ids[i], pos[i]]   (0 when either index is out of range)
+
+The inverse of ops/place.py: after the pipeline computes labels on the
+padded (ring, slot) layout, every point reads its final label back through
+its (ring_id, pos) address.  XLA's TPU element-gather is even slower than
+its element-scatter (PERF.md dead-ends); here the lookup becomes two exact
+one-hot contractions:
+
+    u[i, g] = sum_s [pos_i == s] * table_T[s, g]     (MXU, bf16 operands)
+    out[i]  = sum_g [ids_i == g] * u[i, g]           (VPU row reduce)
+
+Table values must be exactly representable in bf16 (pipeline labels are
+{0,1,2}); products are one-hot selections, so the contraction is exact at
+full MXU rate.  Falls back to a plain fancy-index gather off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+BF16 = jnp.bfloat16
+
+_C = 512  # points per grid step
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, *, g_pad: int,
+                   pack: int):
+    ids = ids_ref[0]  # (1, C)
+    pos = pos_ref[0]  # (1, C)
+    table_t = table_ref[...]  # (capacity / pack, g_pad) bf16
+
+    c = ids.shape[1]
+    cap_p = table_t.shape[0]
+    # pack > 1: `pack` consecutive 2-bit values ride one bf16 word, cutting
+    # the MXU contraction by the pack factor; the word is unpacked with the
+    # point's pos % pack below.
+    pos_w = pos // pack if pack > 1 else pos
+    pos_col = pos_w.reshape(c, 1)  # (C, 1) relayout
+    sid = jax.lax.broadcasted_iota(I32, (1, cap_p), 1)
+    pos_oh = (pos_col == sid).astype(BF16)  # (C, cap/pack)
+    u = jnp.dot(pos_oh, table_t, preferred_element_type=F32)  # (C, g_pad)
+
+    gid = jax.lax.broadcasted_iota(I32, (1, g_pad), 1)
+    ring_oh = (ids.reshape(c, 1) == gid).astype(F32)  # (C, g_pad)
+    out = jnp.sum(u * ring_oh, axis=1)  # (C,)
+    if pack > 1:
+        word = out.astype(I32)
+        shift = 2 * (pos.reshape(-1) % pack)
+        out = (jax.lax.shift_right_logical(word, shift) & 3).astype(F32)
+    out_ref[...] = out.reshape(1, 1, c)
+
+
+def gather_by_group_pos(table, ids, pos, interpret: bool = False,
+                        pack: int = 1):
+    """table: (num_groups, capacity) f32 with bf16-exact values;
+    ids/pos: (N,) int32.  Returns (N,) f32; out-of-range -> 0.
+    pack=4 requires table values in {0..3}: four 2-bit values are packed
+    per bf16 word (still exact: max 255), quartering the MXU work."""
+    num_groups, capacity = table.shape
+    n = ids.shape[0]
+
+    if jax.default_backend() not in ("tpu", "axon") and not interpret:
+        in_range = (ids >= 0) & (ids < num_groups) & (pos >= 0) & (pos < capacity)
+        safe = table[jnp.clip(ids, 0, num_groups - 1),
+                     jnp.clip(pos, 0, capacity - 1)]
+        return jnp.where(in_range, safe, 0).astype(table.dtype)
+
+    g_pad = _round_up(num_groups, 128)  # lane-width pad for the MXU result
+    n_pad = _round_up(n, _C)
+    if pack > 1:
+        assert capacity % pack == 0
+        t4 = table.astype(I32).reshape(num_groups, capacity // pack, pack)
+        weights = (1 << (2 * jnp.arange(pack, dtype=I32)))[None, None, :]
+        packed = jnp.sum(t4 * weights, axis=2).astype(F32)  # values <= 255
+        table_t = jnp.zeros((capacity // pack, g_pad), BF16).at[
+            :, :num_groups].set(packed.T.astype(BF16))
+    else:
+        table_t = jnp.zeros((capacity, g_pad), BF16).at[:, :num_groups].set(
+            table.T.astype(BF16))
+
+    def prep(a, fill):
+        return jnp.full((n_pad,), fill, I32).at[:n].set(a).reshape(
+            n_pad // _C, 1, _C)
+
+    ids2 = prep(ids, I32(g_pad))  # pad rows match no group -> 0
+    pos2 = prep(pos, I32(capacity))
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, g_pad=g_pad, pack=pack),
+        grid=(n_pad // _C,),
+        in_specs=[
+            pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((capacity // pack, g_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // _C, 1, _C), F32),
+        interpret=interpret,
+    )(ids2, pos2, table_t)
+    return out.reshape(-1)[:n].astype(table.dtype)

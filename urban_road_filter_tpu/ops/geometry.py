@@ -114,14 +114,20 @@ class RingLayout(NamedTuple):
     overflow: jax.Array  # scalar int32 — points dropped by capacity
 
 
-def tensorize(x, y, z, d2, alpha, label, ring_id, ring_capacity: int) -> RingLayout:
-    """Stable scatter into (CHANNELS, P); input order preserved per ring.
+def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
+              with_pid: bool = False):
+    """Stable placement into (CHANNELS, P); input order preserved per ring.
+    Returns (RingLayout, pos) where pos[i] is point i's slot within its
+    ring — the (ring_id, pos) pair addresses the layout, so downstream
+    per-point results come back by table-gather instead of scatter.
 
     Replaces the reference's per-scan `channels x piece` allocation
     (lidar_segmentation.cpp:207, ~300 MB/scan) with a fixed padded layout.
-    TPU note: one multi-operand lax.sort carries all point fields through
-    the grouping (payloads ride the sort network — no per-field gathers);
-    per-ring counts are a one-hot compare-reduce, not a scatter-add.
+    Only x/y/z are placed by default (9 bf16 limb rows on the TPU matmul
+    path); `label` (per-point initial labels, e.g. the SP path's carried
+    star marks, +1 limb) and `with_pid` (+3 limbs) are opt-in — the
+    single-device pipeline needs neither, and placement cost is
+    proportional to limb rows.
     """
     from urban_road_filter_tpu.ops.rank import group_positions
 
@@ -138,18 +144,24 @@ def tensorize(x, y, z, d2, alpha, label, ring_id, ring_capacity: int) -> RingLay
     counts = jnp.minimum(counts_all[:CHANNELS], p)
     overflow = jnp.sum(in_ring & (pos >= p)).astype(I32)
 
+    fields = [x, y, z]
+    limbs = [3, 3, 3]
+    if label is not None:
+        fields.append(label)
+        limbs.append(1)  # labels are {0,1,2}: 1 limb
+    if with_pid:
+        fields.append(iota + 1)  # +1 so empty slots (0) decode to -1
+        limbs.append(3)
+
     if jax.default_backend() in ("tpu", "axon"):
         # MXU matmul placement (ops/place.py): XLA's element-scatter runs
         # ~0.6 GB/s on TPU; one-hot matmul accumulation into a VMEM-resident
-        # layout places all five fields in a fraction of the time.  pid is
-        # shifted by +1 so empty slots (0) decode to -1.
+        # layout places every field in a fraction of the time.
         from urban_road_filter_tpu.ops.place import group_place_pallas
 
-        lx, ly, lz, llbl, lpid = group_place_pallas(
-            ring_id, pos, [x, y, z, label, iota + 1], CHANNELS, p,
-            limb_counts=(3, 3, 3, 1, 3))  # labels are {0,1,2}: 1 limb
-        lbl_i = llbl.astype(I32)
-        pid_i = lpid.astype(I32) - 1
+        outs = group_place_pallas(ring_id, pos, fields, CHANNELS, p,
+                                  limb_counts=tuple(limbs))
+        outs = [o.astype(I32) if i >= 3 else o for i, o in enumerate(outs)]
     else:
         # Unique dump slots -> fast unique-indices scatter path.
         fits = in_ring & (pos < p)
@@ -160,18 +172,29 @@ def tensorize(x, y, z, d2, alpha, label, ring_id, ring_capacity: int) -> RingLay
             buf = buf.at[dst].set(vals.astype(dtype), unique_indices=True)
             return buf[:CHANNELS * p].reshape(CHANNELS, p)
 
-        lx, ly, lz = scatter(x, 0.0, F32), scatter(y, 0.0, F32), scatter(z, 0.0, F32)
-        lbl_i = scatter(label, 0, I32)
-        pid_i = scatter(iota, -1, I32)
+        outs = [scatter(f, 0.0, F32) for f in fields[:3]]
+        if label is not None:
+            outs.append(scatter(label, 0, I32))
+        if with_pid:
+            outs.append(scatter(iota + 1, 0, I32))
+
+    lx, ly, lz = outs[0], outs[1], outs[2]
+    k = 3
+    if label is not None:
+        lbl_i = outs[k]
+        k += 1
+    else:
+        lbl_i = jnp.zeros((CHANNELS, p), I32)
+    pid_i = (outs[k] - 1) if with_pid else jnp.full((CHANNELS, p), -1, I32)
 
     # d2/alpha are pure functions of (x, y): recompute them on the placed
     # layout instead of paying two more placements.  Padding slots (x=y=0)
     # get alpha=NaN, which every consumer already masks via counts/a_ok.
-    del d2, alpha
     ld2, lalpha = azimuth_2d(lx, ly)
-    return RingLayout(
+    layout = RingLayout(
         x=lx, y=ly, z=lz, d2=ld2, alpha=lalpha,
         label=lbl_i, pid=pid_i, counts=counts, overflow=overflow)
+    return layout, pos
 
 
 def max_distance(layout: RingLayout) -> jax.Array:
@@ -180,10 +203,14 @@ def max_distance(layout: RingLayout) -> jax.Array:
     return jnp.max(jnp.where(slot_valid, layout.d2, F32(0)), axis=1)
 
 
-def sort_by_azimuth(layout: RingLayout) -> RingLayout:
+def sort_by_azimuth(layout: RingLayout, carry_pid: bool = False) -> RingLayout:
     """Per-ring stable sort by azimuth (replaces the recursive quicksort,
-    lidar_segmentation.cpp:70-93,289-291; layout becomes sorted by
-    construction for everything downstream)."""
+    lidar_segmentation.cpp:70-93,289-291).  Round 2: only the marker stage
+    consumes the sorted view (blind_spots is order-free), so the sort
+    carries just (key, x, y, z, label); d2/alpha are recomputed from the
+    sorted x/y (bit-identical — same pure function of the same values) and
+    pid is not carried (-1; per-point labels come back by table-gather on
+    the UNSORTED layout)."""
     p = layout.alpha.shape[1]
     slot_valid = jnp.arange(p)[None, :] < layout.counts[:, None]
     # NaN azimuth (x=y=0 points): sorts after every finite azimuth but
@@ -193,9 +220,12 @@ def sort_by_azimuth(layout: RingLayout) -> RingLayout:
                     jnp.where(jnp.isnan(layout.alpha), F32(1e30), layout.alpha),
                     jnp.inf)
     # One stable multi-operand sort per ring row: payloads ride the sort
-    # network instead of 7 take_along_axis gathers (slow on TPU).
-    _, xs, ys, zs, d2s, als, lbs, pids = jax.lax.sort(
-        (key, layout.x, layout.y, layout.z, layout.d2, layout.alpha,
-         layout.label, layout.pid), dimension=1, num_keys=1, is_stable=True)
-    return layout._replace(x=xs, y=ys, z=zs, d2=d2s, alpha=als,
-                           label=lbs, pid=pids)
+    # network instead of take_along_axis gathers (slow on TPU).
+    ops = (key, layout.x, layout.y, layout.z, layout.label) + (
+        (layout.pid,) if carry_pid else ())
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
+    _, xs, ys, zs, lbs = sorted_ops[:5]
+    pids = sorted_ops[5] if carry_pid else jnp.full_like(layout.pid, -1)
+    d2s, als = azimuth_2d(xs, ys)
+    return layout._replace(x=xs, y=ys, z=zs, d2=d2s, alpha=als, label=lbs,
+                           pid=pids)

@@ -34,8 +34,9 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _place_kernel(ids_ref, pos_ref, vals_ref, out_ref, *, n_groups_pad: int,
-                  col_w: int, n_fields: int, limb_counts: tuple):
+def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
+                  n_groups_pad: int, col_w: int, n_fields: int,
+                  limb_counts: tuple):
     step = pl.program_id(1)
     col = pl.program_id(0)
 
@@ -43,41 +44,54 @@ def _place_kernel(ids_ref, pos_ref, vals_ref, out_ref, *, n_groups_pad: int,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    ids = ids_ref[0]  # (1, C)
-    pos = pos_ref[0]  # (1, C)
-    vals = vals_ref[0]  # (n_fields, C)
+    # Column-panel skipping: LiDAR points arrive in firing (azimuth-major)
+    # order, so a 512-point chunk advances every ring's write head by only
+    # a few slots — each chunk touches ~1 of the capacity/col_w output
+    # panels.  The host side precomputes which (col, chunk) pairs receive
+    # any point; the rest skip the A-build and the MXU product entirely.
+    @pl.when(active_ref[col, step] > 0)
+    def _():
+        ids = ids_ref[0]  # (1, C)
+        pos = pos_ref[0]  # (1, C)
+        vals = vals_ref[0]  # (n_fields, C)
 
-    # The MXU's default f32 path truncates operands to one bf16 pass, which
-    # would mangle value mantissas (and Mosaic supports no HIGH precision).
-    # Decompose each value into bf16-exact limbs (8 mantissa bits each;
-    # 3 limbs cover full f32, small-range fields declare fewer): limb x
-    # exact {0,1} one-hot products accumulated in f32 reconstruct the value
-    # bit-exactly — placement is selection, never true accumulation.  All
-    # limb rows ride ONE matmul (M-stacked); the caller sums its row groups.
-    hi = vals.astype(jnp.bfloat16).astype(F32)
-    r1 = vals - hi
-    mid = r1.astype(jnp.bfloat16).astype(F32)
-    lo = r1 - mid  # <= 8 significant bits left: bf16-exact under DEFAULT
-    rows = []
-    for f, nl in enumerate(limb_counts):
-        rows.append(hi[f:f + 1])
-        if nl >= 2:
-            rows.append(mid[f:f + 1])
-        if nl >= 3:
-            rows.append(lo[f:f + 1])
-    limbs = jnp.concatenate(rows, axis=0)  # (sum(limb_counts), C)
+        # The MXU's default f32 path truncates operands to one bf16 pass,
+        # which would mangle value mantissas (and Mosaic supports no HIGH
+        # precision).  Decompose each value into bf16-exact limbs (8
+        # mantissa bits each; 3 limbs cover full f32, small-range fields
+        # declare fewer): limb x exact {0,1} one-hot products accumulated
+        # in f32 reconstruct the value bit-exactly — placement is
+        # selection, never true accumulation.  All limb rows ride ONE
+        # matmul (M-stacked); the caller sums its row groups.
+        bf = jnp.bfloat16
+        hi = vals.astype(bf)
+        r1 = vals - hi.astype(F32)
+        mid = r1.astype(bf)
+        lo = (r1 - mid.astype(F32)).astype(bf)  # <= 8 significant bits left
+        rows = []
+        for f, nl in enumerate(limb_counts):
+            rows.append(hi[f:f + 1])
+            if nl >= 2:
+                rows.append(mid[f:f + 1])
+            if nl >= 3:
+                rows.append(lo[f:f + 1])
+        limbs = jnp.concatenate(rows, axis=0)  # (sum(limb_counts), C) bf16
 
-    gid = jax.lax.broadcasted_iota(I32, (n_groups_pad, 1), 0)
-    ring_oh = (gid == ids).astype(F32)  # (G, C)
-    a = (limbs[:, None, :] * ring_oh[None, :, :]).reshape(
-        sum(limb_counts) * n_groups_pad, ids.shape[1])
+        gid = jax.lax.broadcasted_iota(I32, (n_groups_pad, 1), 0)
+        ring_oh = (gid == ids).astype(bf)  # (G, C)
+        a = (limbs[:, None, :] * ring_oh[None, :, :]).reshape(
+            sum(limb_counts) * n_groups_pad, ids.shape[1])
 
-    # This grid instance owns output columns [col*col_w, (col+1)*col_w).
-    pos_col = pos.reshape(pos.shape[1], 1)  # (C, 1) relayout
-    sid = col * col_w + jax.lax.broadcasted_iota(I32, (1, col_w), 1)
-    pos_oh = (pos_col == sid).astype(F32)  # (C, col_w)
+        # This grid instance owns output columns [col*col_w, (col+1)*col_w).
+        pos_col = pos.reshape(pos.shape[1], 1)  # (C, 1) relayout
+        sid = col * col_w + jax.lax.broadcasted_iota(I32, (1, col_w), 1)
+        pos_oh = (pos_col == sid).astype(bf)  # (C, col_w)
 
-    out_ref[...] += jnp.dot(a, pos_oh, preferred_element_type=F32)
+        # bf16 x bf16 -> f32 runs the MXU at full rate and is EXACT here:
+        # every a entry is a bf16 limb times a {0,1} one-hot, every pos_oh
+        # entry is {0,1}, and each output element receives at most one
+        # nonzero product.
+        out_ref[...] += jnp.dot(a, pos_oh, preferred_element_type=F32)
 
 
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
@@ -118,23 +132,30 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     col_w = min(capacity, 512)
     n_cols = capacity // col_w
     n_rows = sum(limb_counts)
+    # Which (col panel, chunk) pairs receive any point (firing-order scans
+    # touch ~1 panel per chunk; skipped pairs cost no VPU/MXU work).
+    pos_chunks = pos2.reshape(n_pad // _C, _C)
+    active = jnp.any(
+        (pos_chunks // col_w)[None, :, :] ==
+        jnp.arange(n_cols, dtype=I32)[:, None, None], axis=2).astype(I32)
+
     out = pl.pallas_call(
         functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
                           n_fields=nf, limb_counts=limb_counts),
-        grid=(n_cols, n_pad // _C),
-        in_specs=[
-            pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nf, _C), lambda c, i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((n_rows * g_pad, col_w), lambda c, i: (0, c),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_cols, n_pad // _C),
+            in_specs=[
+                pl.BlockSpec((1, 1, _C), lambda c, i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 1, _C), lambda c, i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, nf, _C), lambda c, i, *_: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((n_rows * g_pad, col_w),
+                                   lambda c, i, *_: (0, c)),
+        ),
         out_shape=jax.ShapeDtypeStruct((n_rows * g_pad, capacity), F32),
         interpret=interpret,
-    )(ids2, pos2, vals2)
+    )(active, ids2, pos2, vals2)
     # Sum each field's limb row-groups (exact reconstruction).
     results = []
     row = 0

@@ -1,18 +1,33 @@
 """Star-shaped roadside search (reference: star_shaped_search.cpp:32-181).
 
-TPU re-derivation: the reference walks each of 360 radial beams outward,
-maintaining a running mean and absolute-average-deviation of the (r, z)
-slope and marking the first point whose slope exceeds a constant OR an
-adaptive threshold, then breaking (cpp:111-151).
+TPU re-derivation #2 (round 2).  The reference walks each of 360 radial
+beams outward, maintaining a running mean and absolute-average-deviation of
+the (r, z) slope and marking the first point whose slope exceeds a constant
+OR an adaptive threshold, then breaking (cpp:111-151).
 
-The sequential recurrence is exactly a pair of prefix sums:
-    avg_i = (sum of valid slopes <= i) / m_i,          m_i = # valid slopes
-    dev_i = (sum_j<=i |slp_j - avg_j|) / m_i           (each term uses avg at
-                                                        its own step j)
-so the whole walk vectorizes as cumsum + first-true argmax per beam —
-no lax.scan, no sequential dependence (SURVEY.md section 7, hard part #1).
-NaN slopes (coincident radii) are excluded from the stats but still
-evaluated against the thresholds, as in the C++ (cpp:131-141).
+Round-1 design scattered points into a (360, capacity) beam layout (3
+XLA element-scatters at ~0.6 GB/s + a per-beam sort) — device-trace measured
+at ~3.5 ms/scan, the single largest pipeline cost.  This version instead:
+
+  1. ONE stable 2-key `lax.sort` over (beam, radius) with z/pid payloads —
+     the whole scan becomes beam-contiguous, radially ordered segments;
+  2. the running mean/AAD walk becomes SEGMENTED prefix sums
+     (`lax.associative_scan` with a reset flag at each beam boundary —
+     resets also contain the C++'s per-beam inf/NaN slope poisoning inside
+     its beam, which a global cumsum would leak across beams);
+  3. the "first trigger then break" is a segmented first-true;
+  4. the <=360 hits return to point order through one dense (n, 360)
+     compare-reduce plus a 360-element scatter.
+
+No beam capacity exists anymore: like the reference, every point of a beam
+participates in the walk (round 1 truncated at `beam_capacity` and counted
+overflow; the parameter is now ignored and overflow is always 0).
+
+The incremental C++ recurrence avg_i = (avg_{i-1}(m-1) + slp)/m telescopes
+to sum/m exactly (up to f32 reassociation, same class of divergence as the
+round-1 cumsum design, measured by the parity suite).  NaN slopes
+(coincident radii) skip the stats update but still face the thresholds,
+as in the C++ (cpp:131-141).
 """
 
 from __future__ import annotations
@@ -29,14 +44,43 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
+def _segmented_cumsums(first, vals):
+    """Inclusive per-segment prefix sums: resets where `first` is True.
+    vals: tuple of (n,) arrays.  Returns the scanned tuple."""
+
+    def comb(a, b):
+        fa, va = a[0], a[1:]
+        fb, vb = b[0], b[1:]
+        return (fa | fb,) + tuple(jnp.where(fb, y, x + y)
+                                  for x, y in zip(va, vb))
+
+    out = jax.lax.associative_scan(comb, (first,) + tuple(vals))
+    return out[1:]
+
+
 def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
-                cfg: FilterConfig, beam_capacity: int):
-    """Returns (updated per-point labels, overflow count): marks LABEL_CURB
-    at beam edges; overflow counts points dropped by beam capacity (the
-    reference keeps all points per beam — a nonzero count means the radial
-    walk saw a truncated beam and capacity should be raised)."""
+                cfg: FilterConfig, beam_capacity: int = 0):
+    """Returns (updated per-point labels, overflow count).  Marks LABEL_CURB
+    at beam edges.  `beam_capacity` is accepted for API compatibility and
+    ignored (every point participates, like the reference); overflow is
+    always 0."""
+    del beam_capacity
     n = pts.shape[0]
-    k_cap = beam_capacity
+    hp, overflow = star_hits(pts, valid, cfg)
+    hit = hp > 0
+    marks = jnp.zeros((n + 1,), jnp.bool_).at[
+        jnp.where(hit, hp - 1, n)].set(True)[:n]
+    return jnp.where(marks, LABEL_CURB, labels), overflow
+
+
+def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
+    """The star search's raw result: (hp, overflow) where hp is a (360,)
+    int32 array with hp[b] = 1 + point index of beam b's first triggering
+    point, or 0 when the beam found no edge.  At most one point per beam is
+    ever marked (cpp:142-148 breaks after the first hit), so callers can
+    scatter/label the <=360 hits directly instead of paying an n-element
+    pass."""
+    n = pts.shape[0]
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
 
     # --- polar binning (cpp:162-174): f32 r, fi; truncating sector index ---
@@ -59,42 +103,16 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
         coord = jnp.where(yx_b, x, y)
         keep = keep & ((c - o_b) < coord) & (coord < (c + o_b))
 
-    # --- stable grouping into (REP, K): beams accumulate in input order.
-    # Sort-free: per-beam slot = exclusive running count of same-beam
-    # predecessors, computed by the sequential-grid Pallas ranking kernel
-    # (a 131k-element multi-operand bitonic sort costs ~100 GB of HBM
-    # traffic; the ranking kernel reads/writes each point once).
-    from urban_road_filter_tpu.ops.rank import group_positions
-
+    # --- ONE stable 2-key sort: beam-major, radius-minor, ties by input
+    # order (the C++ std::sort is unstable on ties; we pin input order, same
+    # as the oracle, oracle/reference.py:173) ---
     iota = jnp.arange(n, dtype=I32)
-    fk = jnp.where(keep, f, I32(STAR_REP))
-    pos, counts_all = group_positions(fk, STAR_REP + 1)
+    fk = jnp.where(keep, f, I32(STAR_REP))  # dropped points -> sink segment
+    r_key = jnp.where(keep, r, jnp.inf)  # == r on every kept point
+    fk_s, r_s, z_s, pid_s = jax.lax.sort(
+        (fk, r_key, z, iota), dimension=0, num_keys=2, is_stable=True)
 
-    # Matmul placement is a measured loss here (113.6 vs 118.4 scans/s):
-    # 360 groups exceed the VMEM A-tile in one pass, and group-panelled
-    # calls re-stream all N inputs per panel.  The unique-indices scatter
-    # stays (see PERF.md).
-    fits = (fk < STAR_REP) & (pos < k_cap)
-    dst = jnp.where(fits, fk * I32(k_cap) + pos,
-                    I32(STAR_REP * k_cap) + iota)
-
-    def scatter(vals, fill, dtype):
-        buf = jnp.full((STAR_REP * k_cap + n,), fill, dtype)
-        return buf.at[dst].set(vals.astype(dtype), unique_indices=True)[
-            :STAR_REP * k_cap].reshape(STAR_REP, k_cap)
-
-    r_b = scatter(r, jnp.inf, F32)
-    z_b = scatter(z, 0.0, F32)
-    pid_b = scatter(iota, -1, I32)
-    counts = jnp.minimum(counts_all[:STAR_REP], k_cap)
-
-    # --- per-beam radial sort (cpp:109); stable, invalid slots at +inf ---
-    slot = jnp.arange(k_cap)[None, :]
-    sort_key = jnp.where(slot < counts[:, None], r_b, jnp.inf)
-    _, r_s, z_s, pid_s = jax.lax.sort(
-        (sort_key, r_b, z_b, pid_b), dimension=1, num_keys=1, is_stable=True)
-
-    # --- edge detection as prefix statistics (cpp:111-151) ---
+    # --- edge detection as segmented prefix statistics (cpp:111-151) ---
     import numpy as np
 
     # f32(angleFilter3_f32 * (M_PI/180)): f64 product of the f32 parameter,
@@ -104,26 +122,36 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     kdist = F32(cfg.kdist_param)
     dmin = int(cfg.dmin_param)
 
-    dr = r_s - jnp.roll(r_s, 1, axis=1)  # bx - ax at step i
-    dz = z_s - jnp.roll(z_s, 1, axis=1)
-    slp = dz / dr
-    i_idx = slot  # walk index i == sorted slot index
-    in_walk = (i_idx >= 1) & (i_idx <= counts[:, None] - 1)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             fk_s[1:] != fk_s[:-1]])
+    in_beam = fk_s < STAR_REP
+    wk = in_beam & ~first  # walk index i >= 1 within the beam
 
-    vstat = in_walk & ~jnp.isnan(slp)  # NaN slopes skip the stats update
-    m = jnp.cumsum(vstat.astype(F32), axis=1)
-    sum_slp = jnp.cumsum(jnp.where(vstat, slp, F32(0)), axis=1)
+    dr = r_s - jnp.roll(r_s, 1)  # bx - ax at step i (garbage at seg starts,
+    dz = z_s - jnp.roll(z_s, 1)  # masked by wk)
+    slp = dz / dr
+
+    vstat = wk & ~jnp.isnan(slp)  # NaN slopes skip the stats update
+    rank, m, sum_slp = _segmented_cumsums(first, (
+        jnp.ones((n,), I32), vstat.astype(F32),
+        jnp.where(vstat, slp, F32(0))))
+    i_idx = rank - 1  # 0 at the beam's innermost point, like the C++ walk
     avg = jnp.where(m > 0, sum_slp / m, F32(0))
-    sum_dev = jnp.cumsum(jnp.where(vstat, jnp.abs(slp - avg), F32(0)), axis=1)
+    (sum_dev,) = _segmented_cumsums(
+        first, (jnp.where(vstat, jnp.abs(slp - avg), F32(0)),))
     dev = jnp.where(m > 0, sum_dev / m, F32(0))
 
     adaptive = (i_idx > dmin) & ((slp * slp - avg * avg) * kdev * (dr * kdist) > dev)
-    trigger = in_walk & ((slp > slope_param) | adaptive)
+    trigger = wk & ((slp > slope_param) | adaptive)
 
-    hit = jnp.any(trigger, axis=1)
-    first = jnp.argmax(trigger, axis=1)
-    hit_pid = pid_s[jnp.arange(STAR_REP), first]
+    # First trigger per beam ("mark then break", cpp:142-148).
+    (trig_rank,) = _segmented_cumsums(first, (trigger.astype(I32),))
+    first_trig = trigger & (trig_rank == 1)
 
-    marks = jnp.zeros((n + 1,), jnp.bool_).at[jnp.where(hit, hit_pid, n)].set(True)[:n]
-    overflow = jnp.sum((fk < STAR_REP) & (pos >= k_cap)).astype(I32)
-    return jnp.where(marks, LABEL_CURB, labels), overflow
+    # <=360 hits -> per-beam pid via a dense compare-reduce (fused, never
+    # materialized).
+    bins = jnp.arange(STAR_REP, dtype=I32)
+    hp = jnp.sum(jnp.where((fk_s[:, None] == bins[None, :])
+                           & first_trig[:, None],
+                           (pid_s + 1)[:, None], 0), axis=0)  # (360,)
+    return hp, jnp.asarray(0, I32)

@@ -230,11 +230,11 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
         angles, num_rings = _discover_rings_sharded(
             alpha_v, jnp.where(valid, idx_w, _BIG), valid, cfg.interval)
         ring_id = geometry.assign_rings(alpha_v, valid, angles, cfg.interval)
-        d2, alpha_a = geometry.azimuth_2d(x, y)
 
         carried = labels_pt if cfg.star_shaped_method else jnp.zeros((per_wedge,), I32)
-        layout = geometry.tensorize(x, y, z, d2, alpha_a, carried, ring_id,
-                                    dims.ring_capacity // n_wedges)
+        layout, _ = geometry.tensorize(x, y, z, ring_id,
+                                       dims.ring_capacity // n_wedges,
+                                       label=carried, with_pid=True)
         max_dist = jax.lax.pmax(geometry.max_distance(layout), AX)
 
         # --- stencils with one-hop halo ---
@@ -261,7 +261,7 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
             layout = layout._replace(label=ext_layout.label[:, 2 * cp:-cp])
 
         # --- sort + blind spots (blocked bits psum-reduced) ---
-        layout = geometry.sort_by_azimuth(layout)
+        layout = geometry.sort_by_azimuth(layout, carry_pid=True)
         layout = _blind_spots_sharded(layout, max_dist, num_rings, cfg)
 
         # --- markers: global reductions over wedges ---

@@ -5,14 +5,15 @@ lidar_segmentation.cpp:95-621, re-laid-out for TPU):
 
     (N, 4) points
       -> ROI mask                                (L2, ops.geometry.roi_mask)
-      -> star-shaped labels on raw points        (L3, ops.star)
+      -> star-shaped hits on raw points          (L3, ops.star: <=360 hits)
       -> vertical angle, ring discovery/binning  (L2, ops.geometry)
-      -> tensorize to (64, P), input order       (L2)
+      -> tensorize x/y/z to (64, P), input order (L2; returns per-point pos)
+      -> star hits scattered onto the layout     (360-element scatter)
       -> x-zero / z-zero stencils                (L3, ops.xzero / ops.zzero)
-      -> per-ring azimuth sort                   (L2)
-      -> blind-spot flood fill                   (L4, ops.blind_spots)
+      -> blind-spot flood fill (order-free)      (L4, ops.blind_spots)
+      -> azimuth sort feeding ONLY the markers   (L2/L5)
       -> marker segment reductions               (L5, ops.markers)
-      -> per-point label scatter-back
+      -> per-point labels by (ring, pos) table-gather (ops.gather)
 
 Everything is static-shaped; the config is a static (hashable) argument, so
 changing parameters re-traces — the functional analogue of
@@ -28,11 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from urban_road_filter_tpu.config import FilterConfig, PipelineDims
-from urban_road_filter_tpu.constants import CHANNELS, MIN_POINTS, PROBABLY_ROAD_RING
+from urban_road_filter_tpu.constants import (
+    CHANNELS, LABEL_CURB, MIN_POINTS, PROBABLY_ROAD_RING)
 from urban_road_filter_tpu.ops import geometry
 from urban_road_filter_tpu.ops.blind_spots import blind_spots
 from urban_road_filter_tpu.ops.markers import marker_points
-from urban_road_filter_tpu.ops.star import star_shaped
 from urban_road_filter_tpu.ops.xzero import x_zero
 from urban_road_filter_tpu.ops.zzero import z_zero
 
@@ -65,21 +66,34 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
 
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
 
-    labels_pt = jnp.zeros((n,), I32)
     star_overflow = jnp.asarray(0, I32)
+    hit_pids = None
     if cfg.star_shaped_method:
-        labels_pt, star_overflow = star_shaped(pts, valid, labels_pt, cfg,
-                                               dims.beam_capacity)
+        # <=360 first-trigger hits (one per beam, star_shaped_search.cpp
+        # breaks after the first); they reach the layout below through a
+        # tiny 360-element scatter instead of an n-sized label pass.
+        from urban_road_filter_tpu.ops.star import star_hits
+
+        hit_pids, star_overflow = star_hits(pts, valid, cfg)
 
     _, alpha_v = geometry.vertical_angles(x, y, z)
     angles, num_rings = geometry.discover_rings(alpha_v, valid, cfg.interval)
     ring_id = geometry.assign_rings(alpha_v, valid, angles, cfg.interval)
-    d2, alpha_a = geometry.azimuth_2d(x, y)
 
-    carried = labels_pt if cfg.star_shaped_method else jnp.zeros((n,), I32)
-    layout = geometry.tensorize(x, y, z, d2, alpha_a, carried, ring_id,
-                                dims.ring_capacity)
+    cap = dims.ring_capacity
+    layout, pos = geometry.tensorize(x, y, z, ring_id, cap)
     max_dist = geometry.max_distance(layout)
+
+    if hit_pids is not None:
+        # Star curb marks onto the layout: gather the <=360 hit points'
+        # (ring, slot) addresses, scatter LABEL_CURB.
+        hp = jnp.clip(hit_pids - 1, 0, n - 1)
+        landed = (hit_pids > 0) & (ring_id[hp] < CHANNELS) & (pos[hp] < cap)
+        dst = jnp.where(landed, ring_id[hp] * I32(cap) + pos[hp],
+                        I32(CHANNELS * cap))
+        lab = jnp.zeros((CHANNELS * cap + 1,), I32).at[dst].set(LABEL_CURB)
+        layout = layout._replace(label=lab[:CHANNELS * cap].reshape(
+            CHANNELS, cap))
 
     if jax.default_backend() in ("tpu", "axon") and (
             cfg.x_zero_method or cfg.z_zero_method):
@@ -94,21 +108,19 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
         if cfg.z_zero_method:
             layout = z_zero(layout, cfg)
 
-    layout = geometry.sort_by_azimuth(layout)
+    # blind_spots is order-free (windows test each slot's own azimuth);
+    # only the marker stage needs the azimuth-sorted view.
     layout = blind_spots(layout, max_dist, num_rings, cfg)
-    markers = marker_points(layout, num_rings)
+    markers = marker_points(geometry.sort_by_azimuth(layout), num_rings)
 
-    # Scatter final labels back to input-point order (dropped points stay 0,
-    # like the reference: output clouds are built from array3D only).
-    # Empty slots get unique dump indices -> fast unique-indices scatter.
-    pid = layout.pid.reshape(-1)
-    lbl = layout.label.reshape(-1)
-    ok_slot = pid >= 0
-    n_slots = pid.shape[0]
-    dump = n + jnp.arange(n_slots, dtype=I32)
-    labels_out = jnp.zeros((n + n_slots,), I32).at[
-        jnp.where(ok_slot, pid, dump)].set(
-            jnp.where(ok_slot, lbl, 0), unique_indices=True)[:n]
+    # Final labels back to input-point order by TABLE-GATHER at each
+    # point's (ring_id, pos) layout address (ops/gather.py; the round-1
+    # n-element scatter-back cost ~0.75 ms/scan).  Dropped points stay 0,
+    # like the reference: output clouds are built from array3D only.
+    from urban_road_filter_tpu.ops.gather import gather_by_group_pos
+
+    labels_out = gather_by_group_pos(
+        layout.label.astype(F32), ring_id, pos, pack=4).astype(I32)
 
     # Gate everything on the >=30-point guard: a not-ok scan publishes nothing.
     gate = ok
