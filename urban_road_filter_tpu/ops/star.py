@@ -116,10 +116,12 @@ def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
     import numpy as np
 
     # f32(angleFilter3_f32 * (M_PI/180)): f64 product of the f32 parameter,
-    # rounded to f32 (star_shaped_search.cpp:160) — computed at trace time.
-    slope_param = F32(float(np.float32(cfg.curb_slope_deg)) * (math.pi / 180.0))
-    kdev = F32(cfg.kdev_param)
-    kdist = F32(cfg.kdist_param)
+    # rounded to f32 (star_shaped_search.cpp:160) — computed at trace time
+    # (numpy scalars: they stay concrete Python-side constants under jit).
+    slope_param = np.float32(float(np.float32(cfg.curb_slope_deg))
+                             * (math.pi / 180.0))
+    kdev = np.float32(cfg.kdev_param)
+    kdist = np.float32(cfg.kdist_param)
     dmin = int(cfg.dmin_param)
 
     first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
@@ -130,8 +132,21 @@ def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
     dr = r_s - jnp.roll(r_s, 1)  # bx - ax at step i (garbage at seg starts,
     dz = z_s - jnp.roll(z_s, 1)  # masked by wk)
     slp = dz / dr
-
     vstat = wk & ~jnp.isnan(slp)  # NaN slopes skip the stats update
+
+    if jax.default_backend() in ("tpu", "axon"):
+        # One sequential Pallas pass for every segmented recurrence AND the
+        # per-beam hit table (the associative_scan lowering below costs
+        # ~0.8 ms/scan in log-depth slice/pad chains; see ops/star_scan.py).
+        from urban_road_filter_tpu.ops.star_scan import star_scan_pallas
+
+        hp = star_scan_pallas(
+            fk_s, first, wk, vstat, jnp.where(wk, slp, F32(0)),
+            jnp.where(wk, dr, F32(0)), pid_s,
+            slope_param=float(slope_param), kdev=float(kdev),
+            kdist=float(kdist), dmin=dmin, num_beams=STAR_REP)
+        return hp, jnp.asarray(0, I32)
+
     rank, m, sum_slp = _segmented_cumsums(first, (
         jnp.ones((n,), I32), vstat.astype(F32),
         jnp.where(vstat, slp, F32(0))))

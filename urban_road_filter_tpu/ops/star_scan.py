@@ -1,0 +1,185 @@
+"""Pallas TPU kernel for the star-shaped walk over the beam-sorted stream.
+
+Computes, in ONE sequential pass over the (beam, radius)-sorted point
+stream, everything ops/star.py needs after its sort: the per-segment
+running statistics (m, sum of slopes, sum of absolute deviations), the
+walk index, the trigger predicate, the FIRST trigger per segment, and the
+per-beam hit accumulation — returning just the (g_pad,) hit table.
+
+The XLA fallback in ops/star.py expresses the same recurrences as
+`lax.associative_scan`s; on TPU those lower to log-depth slice/pad chains
+measured at ~0.8 ms/scan.  This kernel streams each element exactly once:
+
+  * within a 128-lane row, segmented prefix sums are lane-triangular
+    masked reduces from each lane's last reset position;
+  * across the 8 rows of a block, a tiny (8, 8) row-level pass;
+  * across blocks, carries live in VMEM scratch (TPU grids run in order,
+    same trick as ops/rank.py).
+
+Because the stream is segment-sorted, the carry out of a block is simply
+the inclusive prefix at its last element.  All float arithmetic matches
+the fallback (f32 adds in the same order: lane-major then row-major).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+_LANES = 128
+_ROWS = 8  # 1024 points per grid step
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
+                      pid_ref, hp_ref, carry, hp_acc, *, g_pad: int,
+                      slope_param: float, kdev: float, kdist: float,
+                      dmin: int):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        hp_acc[...] = jnp.zeros_like(hp_acc)
+
+    fk = fk_ref[...]  # (8, 128) i32
+    first_i = first_ref[...]  # i32 {0,1}
+    first = first_i != 0
+    wk = wk_ref[...] != 0
+    vstat = vstat_ref[...] != 0
+    slp = slp_ref[...]
+    dr = dr_ref[...]
+    pid = pid_ref[...]  # f32; values < 2^24 so exact
+
+    # --- within-row segmented scans: log-depth Hillis-Steele over lanes ---
+    lane2 = jax.lax.broadcasted_iota(I32, (_ROWS, _LANES), 1)
+
+    def seg_scan_rows(values):
+        """Inclusive segmented prefix sums of several (8, 128) f32 arrays
+        (shared reset flags `first_i`), within each row.  7 masked
+        roll-add rounds instead of a lane-triangular reduce.  Returns the
+        scanned values plus `row_open` (no reset at or before each lane)."""
+        vs = list(values)
+        flag = first_i
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            okl = lane2 >= d
+            absorb = okl & (flag == 0)  # don't pull across a segment start
+            for i, v in enumerate(vs):
+                vs[i] = jnp.where(absorb, v + pltpu.roll(v, d, axis=1), v)
+            flag = jnp.where(okl, flag | pltpu.roll(flag, d, axis=1), flag)
+        return vs, flag == 0
+
+    # --- row-level carry machinery (shared by every scanned value) ---
+    has_reset = jnp.max(first_i, axis=1, keepdims=True)  # (8, 1) i32
+    ki = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 0)
+    kj = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 1)
+    hr_j = jnp.broadcast_to(has_reset.reshape(1, _ROWS), (_ROWS, _ROWS))
+    lrr = jnp.max(jnp.where((hr_j != 0) & (kj < ki), kj, -1), axis=1,
+                  keepdims=True)  # (8, 1): last reset row before k
+    carry_sel = (kj < ki) & (kj >= lrr)
+    no_reset_before = (lrr == -1)  # (8, 1)
+
+    def add_carries(rs, row_open, carry_row):
+        """Add row- and block-level carries to a row-scanned value."""
+        rowtot = rs[:, _LANES - 1:_LANES]  # (8, 1) value at lane 127
+        rt_j = jnp.broadcast_to(rowtot.reshape(1, _ROWS), (_ROWS, _ROWS))
+        carry_in = jnp.sum(jnp.where(carry_sel, rt_j, F32(0)), axis=1,
+                           keepdims=True)  # (8, 1)
+        block_carry = carry_row[0:1, 0:1]  # (1, 1), all lanes equal
+        carry_in = carry_in + jnp.where(no_reset_before, block_carry, F32(0))
+        out = rs + jnp.where(row_open, carry_in, F32(0))
+        new_carry = jnp.broadcast_to(out[_ROWS - 1:_ROWS, _LANES - 1:_LANES],
+                                     (1, _LANES))
+        return out, new_carry
+
+    ones = jnp.ones_like(slp)
+    (rs_rank, rs_m, rs_slp), row_open = seg_scan_rows(
+        (ones, jnp.where(vstat, F32(1), F32(0)),
+         jnp.where(vstat, slp, F32(0))))
+    rank, c_rank = add_carries(rs_rank, row_open, carry[3:4, :])
+    m, c_m = add_carries(rs_m, row_open, carry[0:1, :])
+    sum_slp, c_slp = add_carries(rs_slp, row_open, carry[1:2, :])
+    avg = jnp.where(m > 0, sum_slp / m, F32(0))
+
+    (rs_dev,), _ = seg_scan_rows((jnp.where(vstat, jnp.abs(slp - avg),
+                                            F32(0)),))
+    sum_dev, c_dev = add_carries(rs_dev, row_open, carry[2:3, :])
+    dev = jnp.where(m > 0, sum_dev / m, F32(0))
+
+    i_idx = rank - 1
+    adaptive = (i_idx > F32(dmin)) & (
+        (slp * slp - avg * avg) * F32(kdev) * (dr * F32(kdist)) > dev)
+    trigger = wk & ((slp > F32(slope_param)) | adaptive)
+
+    (rs_trig,), _ = seg_scan_rows((jnp.where(trigger, F32(1), F32(0)),))
+    cum_trig, c_trig = add_carries(rs_trig, row_open, carry[4:5, :])
+    first_trig = trigger & (cum_trig == 1)
+
+    carry[0:1, :] = c_m
+    carry[1:2, :] = c_slp
+    carry[2:3, :] = c_dev
+    carry[3:4, :] = c_rank
+    carry[4:5, :] = c_trig
+
+    # --- per-beam hit accumulation: hp[b] = pid+1 of the first trigger ---
+    gid = jax.lax.broadcasted_iota(I32, (1, 1, g_pad), 2)
+    ftv = jnp.where(first_trig, pid + F32(1), F32(0))  # f32 before 3-D use
+    hp_acc[...] += jnp.sum(
+        jnp.where(fk[:, :, None] == gid, ftv[:, :, None], F32(0)),
+        axis=1)  # (8, g_pad)
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        hp_ref[...] = hp_acc[...]
+
+
+def star_scan_pallas(fk_s, first, wk, vstat, slp, dr, pid_s, *,
+                     slope_param: float, kdev: float, kdist: float,
+                     dmin: int, num_beams: int, interpret: bool = False):
+    """Returns hp: (num_beams,) i32, hp[b] = 1 + pid of beam b's first
+    triggering point (0 = none).  Inputs are the beam-sorted stream."""
+    n = fk_s.shape[0]
+    blk = _ROWS * _LANES
+    n_pad = _round_up(n, blk)
+    g_pad = _round_up(num_beams + 1, _LANES)
+
+    def prep(a, fill, dtype):
+        return jnp.full((n_pad,), fill, dtype).at[:n].set(
+            a.astype(dtype)).reshape(n_pad // _LANES, _LANES)
+
+    args = (
+        prep(fk_s, g_pad - 1, I32),
+        prep(first, 1, I32),  # padding opens its own (inert) segment
+        prep(wk, 0, I32),
+        prep(vstat, 0, I32),
+        prep(slp, 0.0, F32),
+        prep(dr, 0.0, F32),
+        prep(pid_s, 0.0, F32),
+    )
+    spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    hp_rows = pl.pallas_call(
+        functools.partial(_star_scan_kernel, g_pad=g_pad,
+                          slope_param=slope_param, kdev=kdev, kdist=kdist,
+                          dmin=dmin),
+        grid=(n_pad // blk,),
+        in_specs=[spec] * 7,
+        out_specs=pl.BlockSpec((_ROWS, g_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, g_pad), F32),
+        scratch_shapes=[pltpu.VMEM((8, _LANES), F32),
+                        pltpu.VMEM((_ROWS, g_pad), F32)],
+        interpret=interpret,
+    )(*args)
+    return jnp.sum(hp_rows, axis=0).astype(I32)[:num_beams]
