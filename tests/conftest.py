@@ -23,6 +23,13 @@ import jax  # noqa: E402
 # the virtual 8-device mesh is always available to sharding tests.
 jax.config.update("jax_platforms", "cpu")
 
+# Opt-in NaN tripwire (SURVEY.md section 5 hardening): URF_DEBUG_NANS=1 makes
+# every jitted op fault on a NaN producer instead of propagating it.  Off by
+# default — the pipeline legitimately carries NaN azimuths for degenerate
+# (x=y=0) points, so this is a debugging mode, not a CI default.
+if os.environ.get("URF_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

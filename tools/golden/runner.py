@@ -1,0 +1,114 @@
+"""Build + drive the golden C++ harness (tools/golden/golden_harness.cpp).
+
+The harness compiles the REFERENCE's four algorithm files verbatim from
+/root/reference/src (x_zero_method.cpp, z_zero_method.cpp,
+star_shaped_search.cpp, blind_spots.cpp) against stub ROS/PCL/boost headers,
+so the NumPy oracle can be validated against the actual C++ — closing the
+one trust gap in the correctness chain (VERDICT r1 Missing #2).
+
+Compiled with -ffp-contract=off: the oracle models IEEE float32/float64
+semantics without fused multiply-adds; GCC's default contraction would
+change last-ulp results at branch thresholds.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+
+REF = "/root/reference"
+HERE = os.path.dirname(os.path.abspath(__file__))
+BUILD = os.path.join(HERE, "_build")
+
+SOURCES = ("x_zero_method.cpp", "z_zero_method.cpp",
+           "star_shaped_search.cpp", "blind_spots.cpp")
+
+
+def build(force: bool = False):
+    """Compile the harness; returns the binary path, or None when the
+    toolchain or the read-only reference checkout is unavailable."""
+    gxx = shutil.which("g++")
+    if gxx is None or not os.path.isdir(os.path.join(REF, "src")):
+        return None
+    out = os.path.join(BUILD, "golden_harness")
+    srcs = [os.path.join(REF, "src", s) for s in SOURCES] + [
+        os.path.join(HERE, "golden_harness.cpp")]
+    deps = srcs + [os.path.join(REF, "include", "urban_road_filter",
+                                "data_structures.hpp")]
+    if (not force and os.path.exists(out)
+            and all(os.path.getmtime(out) > os.path.getmtime(s) for s in deps)):
+        return out
+    os.makedirs(BUILD, exist_ok=True)
+    cmd = [gxx, "-std=c++17", "-O2", "-ffp-contract=off",
+           "-I", os.path.join(HERE, "stubs"),
+           "-I", os.path.join(REF, "include"),
+           *srcs, "-o", out]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"golden harness build failed:\n{r.stderr}")
+    return out
+
+
+def _run(binary: str, mode: str, payload: bytes) -> bytes:
+    p = subprocess.run([binary, mode], input=payload,
+                       stdout=subprocess.PIPE, check=True)
+    return p.stdout
+
+
+def _f32(a) -> bytes:
+    return np.ascontiguousarray(a, "<f4").tobytes()
+
+
+def _i32(a) -> bytes:
+    return np.ascontiguousarray(a, "<i4").tobytes()
+
+
+def star(binary, x, y, z, cfg) -> np.ndarray:
+    """Reference starShapedSearch marks (0/2 per point, input order)."""
+    n = len(x)
+    payload = (struct.pack("<i", n) + _f32(x) + _f32(y) + _f32(z)
+               + struct.pack("<fffii", cfg.curb_slope_deg, cfg.kdev_param,
+                             cfg.kdist_param, int(cfg.dmin_param),
+                             int(cfg.starbeam_filter)))
+    return np.frombuffer(_run(binary, "star", payload), "<i4").copy()
+
+
+def _split(flat: np.ndarray, counts) -> list:
+    out, at = [], 0
+    for c in counts:
+        out.append(flat[at:at + c].copy())
+        at += c
+    return out
+
+
+def xz(binary, ring_x, ring_y, ring_z, ring_l, cfg,
+       do_x: bool = True, do_z: bool = True) -> list:
+    """Reference x/z-zero labels per ring (pre-sort input order)."""
+    counts = [len(r) for r in ring_x]
+    payload = struct.pack("<i", len(counts)) + _i32(counts)
+    for k in range(len(counts)):
+        payload += (_f32(ring_x[k]) + _f32(ring_y[k]) + _f32(ring_z[k])
+                    + _i32(ring_l[k]))
+    payload += struct.pack("<fffiii", cfg.curb_height, cfg.cylinder_deg_x,
+                           cfg.cylinder_deg_z, int(cfg.curb_points),
+                           int(do_x), int(do_z))
+    flat = np.frombuffer(_run(binary, "xz", payload), "<i4")
+    return _split(flat, counts)
+
+
+def blind(binary, ring_alpha, ring_label, max_distance, cfg) -> list:
+    """Reference blindSpots labels per ring (azimuth-sorted order)."""
+    counts = [len(r) for r in ring_alpha]
+    index = len(counts)
+    payload = struct.pack("<i", index) + _i32(counts)
+    for k in range(index):
+        payload += _f32(ring_alpha[k]) + _i32(ring_label[k])
+    payload += _f32(np.asarray(max_distance, "<f4")[:index])
+    payload += struct.pack("<fii", cfg.beam_zone, int(cfg.x_direction),
+                           int(cfg.blind_spots))
+    flat = np.frombuffer(_run(binary, "blind", payload), "<i4")
+    return _split(flat, counts)

@@ -147,6 +147,31 @@ class FilterConfig:
     def from_json(cls, s: str) -> "FilterConfig":
         return cls.from_dict(json.loads(s))
 
+    def to_yaml(self) -> str:
+        import yaml
+
+        return yaml.safe_dump(self.to_dict(), sort_keys=True)
+
+    @classmethod
+    def from_yaml(cls, s: str) -> "FilterConfig":
+        """Load from YAML — the rosparam-file equivalent (the reference is
+        configured via launch-file params + cfg/LidarFilters.cfg)."""
+        import yaml
+
+        d = yaml.safe_load(s)
+        if not isinstance(d, Mapping):
+            raise ValueError("config YAML must be a mapping of parameters")
+        return cls.from_dict(d)
+
+    @classmethod
+    def from_file(cls, path: str) -> "FilterConfig":
+        """Load from a .json or .yaml/.yml file by extension."""
+        with open(path) as f:
+            text = f.read()
+        if path.endswith((".yaml", ".yml")):
+            return cls.from_yaml(text)
+        return cls.from_json(text)
+
     def config_hash(self) -> str:
         import hashlib
 
@@ -163,12 +188,16 @@ class PipelineDims:
     """
 
     max_points: int = 131072  # point capacity per scan (N); inputs are padded
-    rings: int = 64  # hard channel cap (lidar_segmentation.cpp:4)
+    rings: int = 64  # ring/channel cap (reference hardcodes 64,
+    # lidar_segmentation.cpp:4; >64 is a deliberate extension for
+    # high-channel sensors — discovery, binning, flood fill and markers all
+    # scale with this)
     ring_capacity: int = 4096  # slots per ring (P)
     beam_capacity: int = 1024  # radial slots per star-shaped beam (K)
 
     def __post_init__(self) -> None:
-        if self.max_points <= 0 or self.ring_capacity <= 0 or self.beam_capacity <= 0:
+        if (self.max_points <= 0 or self.rings <= 0
+                or self.ring_capacity <= 0 or self.beam_capacity <= 0):
             raise ValueError("dims must be positive")
 
     @classmethod
@@ -177,7 +206,7 @@ class PipelineDims:
         presets = {
             "vlp16": cls(max_points=32768, rings=64, ring_capacity=2048, beam_capacity=256),
             "os1-64": cls(max_points=131072, rings=64, ring_capacity=4096, beam_capacity=1024),
-            "os1-128": cls(max_points=262144, rings=64, ring_capacity=8192, beam_capacity=2048),
+            "os1-128": cls(max_points=262144, rings=128, ring_capacity=8192, beam_capacity=2048),
             "tiny": cls(max_points=1024, rings=64, ring_capacity=256, beam_capacity=64),
         }
         try:

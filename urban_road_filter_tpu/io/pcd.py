@@ -11,11 +11,92 @@ from __future__ import annotations
 
 import io
 import os
+import struct
 from typing import Iterator, Sequence
 
 import numpy as np
 
 __all__ = ["read_pcd", "write_pcd", "write_scan_sequence", "read_scan_sequence"]
+
+
+# ---- LZF codec (PCL's binary_compressed payload format) ----
+#
+# liblzf stream: control byte < 32 -> literal run of ctrl+1 bytes; else a
+# back-reference of (ctrl >> 5) + 2 bytes (+1 extension byte when the top
+# bits saturate at 7) at distance ((ctrl & 0x1f) << 8) + next + 1.
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:  # literal run
+            run = ctrl + 1
+            if i + run > n:
+                raise ValueError("LZF literal run past end of input")
+            out += data[i:i + run]
+            i += run
+        else:  # back-reference
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            ref = len(out) - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("LZF back-reference before stream start")
+            for _ in range(length + 2):  # may overlap: byte-by-byte
+                out.append(out[ref])
+                ref += 1
+    if len(out) != expected_size:
+        raise ValueError(f"LZF decompressed {len(out)} bytes, "
+                         f"header declared {expected_size}")
+    return bytes(out)
+
+
+def lzf_compress(data: bytes) -> bytes:
+    """Greedy hash-table LZF compressor (same stream format liblzf emits;
+    any conforming decompressor — including PCL's — reads it)."""
+    n = len(data)
+    out = bytearray()
+    lit_start = 0  # start of the pending literal run
+    table: dict = {}
+    i = 0
+
+    def flush_literals(upto: int) -> None:
+        j = lit_start
+        while j < upto:
+            run = min(32, upto - j)
+            out.append(run - 1)
+            out.extend(data[j:j + run])
+            j += run
+
+    while i < n - 2:
+        key = data[i:i + 3]
+        cand = table.get(key, -1)
+        table[key] = i
+        dist = i - cand - 1
+        if cand >= 0 and dist < (1 << 13):
+            # Extend the match (cap: 7 + 255 + 2 total).
+            m = 3
+            limit = min(n - i, 264)
+            while m < limit and data[cand + m] == data[i + m]:
+                m += 1
+            flush_literals(i)
+            length = m - 2
+            if length < 7:
+                out.append((length << 5) | (dist >> 8))
+            else:
+                out.append((7 << 5) | (dist >> 8))
+                out.append(length - 7)
+            out.append(dist & 0xFF)
+            i += m
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
+    return bytes(out)
 
 _FIELD_DTYPES = {("F", 4): "f4", ("F", 8): "f8",
                  ("I", 1): "i1", ("I", 2): "i2", ("I", 4): "i4",
@@ -43,8 +124,8 @@ def _parse_header(f) -> dict:
 def read_pcd(path: str | os.PathLike, use_native: bool = True) -> np.ndarray:
     """Read a PCD file -> (N, 4) float32 [x, y, z, intensity].
 
-    Missing intensity fields are zero-filled.  Supports ascii and binary
-    DATA (binary_compressed is rejected with a clear error)."""
+    Missing intensity fields are zero-filled.  Supports ascii, binary and
+    binary_compressed (LZF, PCL's default save format) DATA."""
     if use_native:
         try:
             from urban_road_filter_tpu.runtime.native import read_pcd_native
@@ -89,9 +170,22 @@ def read_pcd(path: str | os.PathLike, use_native: bool = True) -> np.ndarray:
                 col += cnt
         elif data_kind == "binary":
             rec = np.frombuffer(f.read(n * dt.itemsize), dtype=dt, count=n)
+        elif data_kind == "binary_compressed":
+            # PCL layout: u32 compressed size, u32 uncompressed size, LZF
+            # blob of the cloud in structure-of-arrays order (all x values,
+            # then all y values, ...).
+            comp_n, raw_n = struct.unpack("<II", f.read(8))
+            blob = lzf_decompress(f.read(comp_n), raw_n)
+            rec = np.zeros(n, dt)
+            off = 0
+            for name, size, typ, cnt in zip(fields, sizes, types, counts):
+                base = _FIELD_DTYPES[(typ, size)]
+                arr = np.frombuffer(blob, dtype=base, count=n * cnt,
+                                    offset=off)
+                rec[name] = arr if cnt == 1 else arr.reshape(n, cnt)
+                off += size * cnt * n
         else:
-            raise ValueError(f"PCD DATA kind {data_kind!r} not supported "
-                             "(decompress binary_compressed first)")
+            raise ValueError(f"PCD DATA kind {data_kind!r} not supported")
 
     out = np.zeros((rec.shape[0], 4), np.float32)
     for i, name in enumerate(("x", "y", "z")):
@@ -105,19 +199,29 @@ def read_pcd(path: str | os.PathLike, use_native: bool = True) -> np.ndarray:
 
 
 def write_pcd(path: str | os.PathLike, points: np.ndarray,
-              binary: bool = True) -> None:
-    """Write (N, >=3) points as PCD v0.7 x/y/z/intensity."""
+              binary: bool = True, compressed: bool = False) -> None:
+    """Write (N, >=3) points as PCD v0.7 x/y/z/intensity.
+
+    compressed=True emits DATA binary_compressed (PCL's default save
+    format): LZF over the structure-of-arrays layout."""
     pts = np.zeros((len(points), 4), np.float32)
     pts[:, :min(4, points.shape[1])] = points[:, :4]
     n = len(pts)
+    kind = "binary_compressed" if compressed else (
+        "binary" if binary else "ascii")
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
         "VERSION 0.7\nFIELDS x y z intensity\nSIZE 4 4 4 4\nTYPE F F F F\n"
         f"COUNT 1 1 1 1\nWIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
-        f"POINTS {n}\nDATA {'binary' if binary else 'ascii'}\n")
+        f"POINTS {n}\nDATA {kind}\n")
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            raw = np.ascontiguousarray(pts.T).tobytes()  # SoA field-major
+            comp = lzf_compress(raw)
+            f.write(struct.pack("<II", len(comp), len(raw)))
+            f.write(comp)
+        elif binary:
             f.write(np.ascontiguousarray(pts).tobytes())
         else:
             np.savetxt(f, pts, fmt="%.6f")

@@ -113,11 +113,35 @@ class ReplayHarness:
         return int(state.get("seq", 0))
 
     # ---- main loop ----
+    def _stage(self, it: Iterator[np.ndarray]):
+        """Pull + device-stage the next scan.  A malformed scan (bad shape,
+        unparsable file) is counted as an error and skipped so one bad scan
+        cannot kill the stream (SURVEY.md section 5 fault isolation).
+        Returns (raw, device_scan, n_skipped); n_skipped errored scans were
+        consumed from the source before this one (their stream positions are
+        charged to ``_seq`` when this entry is processed or dropped —
+        staging overlaps the in-flight scan, so ``_seq`` cannot move here)."""
+        import jax
+
+        from urban_road_filter_tpu.pipeline import pad_scan
+
+        skipped = 0
+        while True:
+            raw = next(it, None)
+            if raw is None:
+                return None
+            try:
+                return (raw, jax.device_put(jax.numpy.asarray(
+                    pad_scan(raw, self.dims.max_points))), skipped)
+            except Exception as e:  # noqa: BLE001 — isolate any scan fault
+                self.metrics.record_error(f"stage: {e!r}")
+                skipped += 1
+
     def run(self, source: Iterable[np.ndarray],
             max_scans: Optional[int] = None) -> StreamMetrics:
         import jax
 
-        from urban_road_filter_tpu.pipeline import pad_scan, process_scan_jit
+        from urban_road_filter_tpu.pipeline import process_scan_jit
 
         # Warm the device transfer path: on tunneled dev backends (axon) the
         # FIRST device->host transfer of a process can take minutes; absorb
@@ -136,30 +160,38 @@ class ReplayHarness:
         next_deadline = time.perf_counter()
 
         # Double buffering: device_put scan t+1 while scan t computes.
-        pending = None  # (host_scan, device_scan)
-        raw = next(it, None)
-        if raw is not None:
-            pending = (raw, jax.device_put(
-                jax.numpy.asarray(pad_scan(raw, self.dims.max_points))))
+        pending = self._stage(it)  # (host_scan, device_scan)
 
         done = 0
         while pending is not None and (max_scans is None or done < max_scans):
-            raw, dev = pending
+            raw, dev, skipped = pending
+            self._seq += skipped  # errored scans consumed earlier positions
             t0 = time.perf_counter()
-            out = process_scan_jit(dev, self.cfg, self.dims)
+            err = None
+            out = None
+            try:
+                out = process_scan_jit(dev, self.cfg, self.dims)
+            except Exception as e:  # noqa: BLE001 — per-scan isolation
+                err = e
 
             # Overlap: stage the next scan while the device works.
-            nxt = next(it, None)
-            pending = None if nxt is None else (nxt, jax.device_put(
-                jax.numpy.asarray(pad_scan(nxt, self.dims.max_points))))
+            pending = self._stage(it)
 
-            out = jax.block_until_ready(out)
-            latency_ms = (time.perf_counter() - t0) * 1e3
+            outputs = None
+            if err is None:
+                try:
+                    out = jax.block_until_ready(out)
+                    latency_ms = (time.perf_counter() - t0) * 1e3
+                    outputs = self._postprocess(raw, out, latency_ms)
+                except Exception as e:  # noqa: BLE001
+                    err = e
 
-            outputs = self._postprocess(raw, out, latency_ms)
-            self.metrics.record(outputs.stats)
-            if self.on_scan:
-                self.on_scan(outputs)
+            if err is None:
+                self.metrics.record(outputs.stats)
+                if self.on_scan:
+                    self.on_scan(outputs)
+            else:
+                self.metrics.record_error(f"scan seq={self._seq}: {err!r}")
             self._seq += 1
             done += 1
             self._save_checkpoint()
@@ -173,12 +205,9 @@ class ReplayHarness:
                     for _ in range(n_skip):
                         if pending is None:
                             break
-                        skipped = next(it, None)
-                        pending = None if skipped is None else (
-                            skipped, jax.device_put(jax.numpy.asarray(
-                                pad_scan(skipped, self.dims.max_points))))
+                        self._seq += pending[2] + 1  # dropped scan's position
+                        pending = self._stage(it)
                         self.metrics.record_drop()
-                        self._seq += 1
                         next_deadline += period
                 elif lag < 0:
                     time.sleep(-lag)
@@ -242,12 +271,16 @@ def main() -> None:
                     help="lossless mode instead of queue-1 drop semantics")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--config-json", default=None)
+    ap.add_argument("--config", default=None,
+                    help="config file, .json or .yaml by extension")
     ap.add_argument("--stats-jsonl", default=None,
                     help="write per-scan stats records to this file")
     args = ap.parse_args()
 
     cfg = FilterConfig()
-    if args.config_json:
+    if args.config:
+        cfg = FilterConfig.from_file(args.config)
+    elif args.config_json:
         with open(args.config_json) as f:
             cfg = FilterConfig.from_json(f.read())
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from urban_road_filter_tpu.config import FilterConfig
-from urban_road_filter_tpu.constants import CHANNELS, LABEL_CURB, LABEL_ROAD
+from urban_road_filter_tpu.constants import LABEL_CURB, LABEL_ROAD
 from urban_road_filter_tpu.ops.geometry import RingLayout
 
 F32 = jnp.float32
@@ -92,17 +92,18 @@ def sweep_bounds(w: jax.Array, beam_zone, direction: int):
     """(active, lo, hi) for one sweep; lo/hi are the ACTUAL per-(ring, start)
     inclusive window bounds, exact-equality overrides applied."""
     bz = F32(beam_zone)
+    rings = w.shape[0]
     i_f = jnp.arange(_NI, dtype=F32)
-    k_ge1 = jnp.arange(CHANNELS)[:, None] >= 1
+    k_ge1 = jnp.arange(rings)[:, None] >= 1
     if direction > 0:
         active = i_f <= (F32(360) - bz)
         special = (i_f == (F32(360) - bz))[None, :] & k_ge1
-        lo = jnp.broadcast_to(i_f, (CHANNELS, _NI))
+        lo = jnp.broadcast_to(i_f, (rings, _NI))
         hi = jnp.where(special, F32(360), i_f[None, :] + w[:, None])
     else:
         active = (i_f >= bz) & (i_f <= F32(360))
         special = (i_f == bz)[None, :] & k_ge1
-        hi = jnp.broadcast_to(i_f, (CHANNELS, _NI))
+        hi = jnp.broadcast_to(i_f, (rings, _NI))
         lo = jnp.where(special, F32(0), i_f[None, :] - w[:, None])
     return active, lo, hi
 
@@ -133,7 +134,7 @@ def blind_spots(layout: RingLayout, max_dist: jax.Array, num_rings: jax.Array,
     p = alpha.shape[1]
     slot = jnp.arange(p)[None, :]
     slot_valid = slot < counts[:, None]
-    ring_active = (jnp.arange(CHANNELS) < num_rings)[:, None]
+    ring_active = (jnp.arange(alpha.shape[0]) < num_rings)[:, None]
 
     gate = jnp.zeros((_NI,), jnp.bool_)
     if cfg.blind_spots:

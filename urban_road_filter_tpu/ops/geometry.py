@@ -53,10 +53,13 @@ def vertical_angles(x: jax.Array, y: jax.Array, z: jax.Array):
     return d, alpha
 
 
-def discover_rings(alpha: jax.Array, valid: jax.Array, interval: float):
+def discover_rings(alpha: jax.Array, valid: jax.Array, interval: float,
+                   rings: int = CHANNELS):
     """Greedy ring registration (lidar_segmentation.cpp:168-197) as a
-    64-step loop of vectorized matching.  Returns (ascending ring angles
-    padded with +inf, ring count)."""
+    `rings`-step loop of vectorized matching.  Returns (ascending ring
+    angles padded with +inf, ring count).  `rings` is the channel cap —
+    the reference hardcodes 64 (lidar_segmentation.cpp:4); dims.rings lets
+    128-channel sensors keep all their rings."""
     tol = F32(interval)
     inf = jnp.array(jnp.inf, F32)
 
@@ -70,20 +73,22 @@ def discover_rings(alpha: jax.Array, valid: jax.Array, interval: float):
         matched = matched | (has & (jnp.abs(alpha - a) <= tol))
         return angles, matched, count + has.astype(I32)
 
-    angles0 = jnp.full((CHANNELS,), jnp.inf, F32)
+    angles0 = jnp.full((rings,), jnp.inf, F32)
     angles, _, count = jax.lax.fori_loop(
-        0, CHANNELS, body, (angles0, jnp.zeros_like(valid), jnp.asarray(0, I32)))
+        0, rings, body, (angles0, jnp.zeros_like(valid), jnp.asarray(0, I32)))
     return jnp.sort(angles), count
 
 
 def assign_rings(alpha: jax.Array, valid: jax.Array, angles_sorted: jax.Array,
                  interval: float) -> jax.Array:
     """First matching ring in ascending-angle order
-    (lidar_segmentation.cpp:226-233); CHANNELS = dropped."""
+    (lidar_segmentation.cpp:226-233); rings (= angles_sorted size) =
+    dropped."""
+    rings = angles_sorted.shape[0]
     m = jnp.abs(angles_sorted[None, :] - alpha[:, None]) <= F32(interval)
     has = jnp.any(m, axis=1)
     ring = jnp.argmax(m, axis=1).astype(I32)
-    return jnp.where(valid & has, ring, I32(CHANNELS))
+    return jnp.where(valid & has, ring, I32(rings))
 
 
 def azimuth_2d(x: jax.Array, y: jax.Array):
@@ -115,8 +120,8 @@ class RingLayout(NamedTuple):
 
 
 def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
-              with_pid: bool = False):
-    """Stable placement into (CHANNELS, P); input order preserved per ring.
+              with_pid: bool = False, rings: int = CHANNELS):
+    """Stable placement into (rings, P); input order preserved per ring.
     Returns (RingLayout, pos) where pos[i] is point i's slot within its
     ring — the (ring_id, pos) pair addresses the layout, so downstream
     per-point results come back by table-gather instead of scatter.
@@ -138,10 +143,10 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
     # Slot of each point = # earlier points in the same ring — computed by
     # the sequential-grid Pallas ranking kernel (ops/rank.py): one read +
     # one write per point, vs ~100 GB of bitonic-sort traffic at 131k pts.
-    pos, counts_all = group_positions(ring_id, CHANNELS + 1)
+    pos, counts_all = group_positions(ring_id, rings + 1)
 
-    in_ring = ring_id < CHANNELS
-    counts = jnp.minimum(counts_all[:CHANNELS], p)
+    in_ring = ring_id < rings
+    counts = jnp.minimum(counts_all[:rings], p)
     overflow = jnp.sum(in_ring & (pos >= p)).astype(I32)
 
     fields = [x, y, z]
@@ -159,18 +164,18 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
         # layout places every field in a fraction of the time.
         from urban_road_filter_tpu.ops.place import group_place_pallas
 
-        outs = group_place_pallas(ring_id, pos, fields, CHANNELS, p,
+        outs = group_place_pallas(ring_id, pos, fields, rings, p,
                                   limb_counts=tuple(limbs))
         outs = [o.astype(I32) if i >= 3 else o for i, o in enumerate(outs)]
     else:
         # Unique dump slots -> fast unique-indices scatter path.
         fits = in_ring & (pos < p)
-        dst = jnp.where(fits, ring_id * I32(p) + pos, I32(CHANNELS * p) + iota)
+        dst = jnp.where(fits, ring_id * I32(p) + pos, I32(rings * p) + iota)
 
         def scatter(vals, fill, dtype):
-            buf = jnp.full((CHANNELS * p + n,), fill, dtype)
+            buf = jnp.full((rings * p + n,), fill, dtype)
             buf = buf.at[dst].set(vals.astype(dtype), unique_indices=True)
-            return buf[:CHANNELS * p].reshape(CHANNELS, p)
+            return buf[:rings * p].reshape(rings, p)
 
         outs = [scatter(f, 0.0, F32) for f in fields[:3]]
         if label is not None:
@@ -184,8 +189,8 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
         lbl_i = outs[k]
         k += 1
     else:
-        lbl_i = jnp.zeros((CHANNELS, p), I32)
-    pid_i = (outs[k] - 1) if with_pid else jnp.full((CHANNELS, p), -1, I32)
+        lbl_i = jnp.zeros((rings, p), I32)
+    pid_i = (outs[k] - 1) if with_pid else jnp.full((rings, p), -1, I32)
 
     # d2/alpha are pure functions of (x, y): recompute them on the placed
     # layout instead of paying two more placements.  Padding slots (x=y=0)

@@ -37,6 +37,11 @@ def _round_up(v: int, m: int) -> int:
 def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
                   n_groups_pad: int, col_w: int, n_fields: int,
                   limb_counts: tuple):
+    # `active_ref` lives in SMEM (not scalar-prefetch: jax's vmap batching
+    # rule for PrefetchScalarGridSpec falls back to INTERPRET mode, which
+    # cost the batched pipeline ~14 ms/step as an XLA while-loop emulation —
+    # device-trace r2).  A data-dependent pl.when on an SMEM scalar lowers
+    # to a Mosaic scf.if and keeps the column-panel skipping.
     step = pl.program_id(1)
     col = pl.program_id(0)
 
@@ -153,20 +158,19 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
         (pos_chunks // col_w)[None, :, :] ==
         jnp.arange(n_cols, dtype=I32)[:, None, None], axis=2).astype(I32)
 
+    n_chunks = n_pad // _C
     out = pl.pallas_call(
         functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
                           n_fields=nf, limb_counts=limb_counts),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_cols, n_pad // _C),
-            in_specs=[
-                pl.BlockSpec((1, 1, _C), lambda c, i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, 1, _C), lambda c, i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, nf, _C), lambda c, i, *_: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((nf * g_pad, col_w),
-                                   lambda c, i, *_: (0, c)),
-        ),
+        grid=(n_cols, n_chunks),
+        in_specs=[
+            pl.BlockSpec((n_cols, n_chunks), lambda c, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0)),
+            pl.BlockSpec((1, nf, _C), lambda c, i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nf * g_pad, col_w), lambda c, i: (0, c)),
         out_shape=jax.ShapeDtypeStruct((nf * g_pad, capacity), F32),
         interpret=interpret,
     )(active, ids2, pos2, vals2)

@@ -144,13 +144,18 @@ def star_shaped_search(x: np.ndarray, y: np.ndarray, z: np.ndarray,
 
     # Polar binning (star_shaped_search.cpp:162-174): float32 r and fi.
     r = np.sqrt(x * x + y * y).astype(F32)
-    fi = np.arctan2(y, x).astype(F32)
+    # atan2 is the double libm function in the C++ (float args promoted),
+    # rounded once on the float assignment — computing it in f32 directly
+    # flips ~1-ulp beam-boundary cases (caught by the golden C++ harness).
+    fi = np.arctan2(y.astype(F64), x.astype(F64)).astype(F32)
     neg = fi < 0  # note: -0.0 is NOT < 0, same as the C++
     fi = np.where(neg, (fi.astype(F64) + 2.0 * math.pi).astype(F32), fi)
     f = (fi * STAR_KFI).astype(np.int32)  # truncation toward zero
     # f == rep IS reachable (fi a few ulps below 2pi rounds up through the
-    # f32 multiply); the C++ routes it to beam 0 via the beamp[rep] sentinel
-    # (star_shaped_search.cpp:20,157,173).
+    # f32 multiply).  The C++ would dereference a NULL beamp[360] here —
+    # beam_init fills 0..359 and the push_back sentinel lands at index 361
+    # (star_shaped_search.cpp:20,51,157; PARITY.md item 5a).  We route such
+    # points to beam 0, the evident intent of the sentinel.
     f %= STAR_REP
 
     order = np.argsort(f, kind="stable")  # beams accumulate points in input order

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from urban_road_filter_tpu.config import FilterConfig, PipelineDims
 from urban_road_filter_tpu.constants import (
-    CHANNELS, LABEL_CURB, MIN_POINTS, PROBABLY_ROAD_RING)
+    LABEL_CURB, MIN_POINTS, PROBABLY_ROAD_RING)
 from urban_road_filter_tpu.ops import geometry
 from urban_road_filter_tpu.ops.blind_spots import blind_spots
 from urban_road_filter_tpu.ops.markers import marker_points
@@ -47,10 +47,10 @@ class ScanResult(NamedTuple):
     ok: jax.Array  # bool: >= 30 points in ROI (lidar_segmentation.cpp:124)
     roi: jax.Array  # (N,) bool
     labels: jax.Array  # (N,) int32 in {0,1,2}; 0 for non-ROI points
-    ring_id: jax.Array  # (N,) int32; CHANNELS = dropped at binning
+    ring_id: jax.Array  # (N,) int32; dims.rings = dropped at binning
     num_rings: jax.Array  # int32
-    counts: jax.Array  # (CHANNELS,)
-    max_distance: jax.Array  # (CHANNELS,)
+    counts: jax.Array  # (dims.rings,)
+    max_distance: jax.Array  # (dims.rings,)
     markers: jax.Array  # (361, 6): exists, x, y, z, red, bin
     overflow: jax.Array  # int32: points dropped by ring-capacity
     star_overflow: jax.Array  # int32: points dropped by star-beam capacity
@@ -77,23 +77,25 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
         hit_pids, star_overflow = star_hits(pts, valid, cfg)
 
     _, alpha_v = geometry.vertical_angles(x, y, z)
-    angles, num_rings = geometry.discover_rings(alpha_v, valid, cfg.interval)
+    rings = dims.rings
+    angles, num_rings = geometry.discover_rings(alpha_v, valid, cfg.interval,
+                                                rings=rings)
     ring_id = geometry.assign_rings(alpha_v, valid, angles, cfg.interval)
 
     cap = dims.ring_capacity
-    layout, pos = geometry.tensorize(x, y, z, ring_id, cap)
+    layout, pos = geometry.tensorize(x, y, z, ring_id, cap, rings=rings)
     max_dist = geometry.max_distance(layout)
 
     if hit_pids is not None:
         # Star curb marks onto the layout: gather the <=360 hit points'
         # (ring, slot) addresses, scatter LABEL_CURB.
         hp = jnp.clip(hit_pids - 1, 0, n - 1)
-        landed = (hit_pids > 0) & (ring_id[hp] < CHANNELS) & (pos[hp] < cap)
+        landed = (hit_pids > 0) & (ring_id[hp] < rings) & (pos[hp] < cap)
         dst = jnp.where(landed, ring_id[hp] * I32(cap) + pos[hp],
-                        I32(CHANNELS * cap))
-        lab = jnp.zeros((CHANNELS * cap + 1,), I32).at[dst].set(LABEL_CURB)
-        layout = layout._replace(label=lab[:CHANNELS * cap].reshape(
-            CHANNELS, cap))
+                        I32(rings * cap))
+        lab = jnp.zeros((rings * cap + 1,), I32).at[dst].set(LABEL_CURB)
+        layout = layout._replace(label=lab[:rings * cap].reshape(
+            rings, cap))
 
     if jax.default_backend() in ("tpu", "axon") and (
             cfg.x_zero_method or cfg.z_zero_method):

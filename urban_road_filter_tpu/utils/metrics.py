@@ -42,6 +42,8 @@ class StreamMetrics:
         self.scans = 0
         self.dropped = 0
         self.not_ok = 0
+        self.errors = 0
+        self.last_error: Optional[str] = None
         self.t_start: Optional[float] = None
         self.t_end: Optional[float] = None
 
@@ -60,6 +62,12 @@ class StreamMetrics:
     def record_drop(self, n: int = 1) -> None:
         self.dropped += n
 
+    def record_error(self, detail: str) -> None:
+        """One scan failed (malformed input, device fault); the stream
+        continues — per-scan fault isolation (SURVEY.md section 5)."""
+        self.errors += 1
+        self.last_error = detail
+
     def summary(self) -> dict:
         lat = np.asarray(self.latencies_ms) if self.latencies_ms else np.zeros(1)
         wall = ((self.t_end or 0) - (self.t_start or 0)) or float("nan")
@@ -67,6 +75,7 @@ class StreamMetrics:
             "scans": self.scans,
             "dropped": self.dropped,
             "not_ok": self.not_ok,
+            "errors": self.errors,
             "wall_s": round(wall, 3),
             "scans_per_sec": round(self.scans / wall, 2) if wall and wall > 0 else None,
             "latency_ms": {
