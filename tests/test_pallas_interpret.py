@@ -242,3 +242,51 @@ class TestFusedXZZeroInterpret:
         got = np.asarray(fused_xz_zero(layout, cfg, interpret=True).label)
         np.testing.assert_array_equal(got, want)
         assert got[1].max() == 0 and got[2:].max() == 0
+
+
+class TestMarkerScanInterpret:
+    @pytest.mark.parametrize("scene,seed", [("two_curbs", 0), ("blind_spot", 4),
+                                            ("curb_gap", 7)])
+    def test_matches_xla_markers(self, scene, seed):
+        from urban_road_filter_tpu.config import FilterConfig
+        from urban_road_filter_tpu.ops.blind_spots import blind_spots
+        from urban_road_filter_tpu.ops.marker_scan import marker_points_pallas
+        from urban_road_filter_tpu.ops.markers import marker_points
+        from urban_road_filter_tpu.ops.star import star_shaped
+
+        cfg = FilterConfig()
+        pts = make_scan(SCENES[scene](), n_rings=16, n_azimuth=512, seed=seed)
+        pts = jnp.asarray(pts[:8192, :4].astype(F32))
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        valid = geometry.roi_mask(pts, cfg)
+        labels0, _ = star_shaped(pts, valid, jnp.zeros(len(pts), jnp.int32),
+                                 cfg, 0)
+        _, av = geometry.vertical_angles(x, y, z)
+        angles, nr = geometry.discover_rings(av, valid, cfg.interval)
+        ring_id = geometry.assign_rings(av, valid, angles, cfg.interval)
+        layout, _ = geometry.tensorize(x, y, z, ring_id, 512, label=labels0)
+        layout = blind_spots(layout, geometry.max_distance(layout), nr, cfg)
+        sl = geometry.sort_by_azimuth(layout)
+
+        want = np.asarray(marker_points(sl, nr))
+        got = np.asarray(marker_points_pallas(sl, nr, interpret=True))
+        assert want[:, 0].sum() > 10  # scene produces real markers
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty_scan(self):
+        from urban_road_filter_tpu.ops.marker_scan import marker_points_pallas
+        from urban_road_filter_tpu.ops.markers import marker_points
+        from urban_road_filter_tpu.ops.geometry import RingLayout
+
+        r, p = 8, 512
+        zero = jnp.zeros((r, p), jnp.float32)
+        lay = RingLayout(x=zero, y=zero, z=zero, d2=zero,
+                         alpha=jnp.full((r, p), jnp.nan),
+                         label=jnp.zeros((r, p), jnp.int32),
+                         pid=jnp.full((r, p), -1, jnp.int32),
+                         counts=jnp.zeros((r,), jnp.int32),
+                         overflow=jnp.asarray(0, jnp.int32))
+        want = np.asarray(marker_points(lay, jnp.asarray(0)))
+        got = np.asarray(marker_points_pallas(lay, jnp.asarray(0),
+                                              interpret=True))
+        np.testing.assert_array_equal(got, want)

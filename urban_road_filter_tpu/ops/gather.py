@@ -38,6 +38,12 @@ def _round_up(v: int, m: int) -> int:
 
 def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, *, g_pad: int,
                    pack: int):
+    # Transpose-free layout: every tensor keeps the POINT axis on lanes.
+    # The round-2a version reshaped pos/ids to (C, 1) and row-reduced over
+    # lanes — three lane<->sublane relayouts per chunk that dominated the
+    # kernel (6.8 ms/step at batch 16).  Here the one-hots put the table
+    # axis on sublanes (iota dim 0), the MXU contracts the sublane dims,
+    # and the final reduce runs over sublanes (cheap on TPU).
     ids = ids_ref[0]  # (1, C)
     pos = pos_ref[0]  # (1, C)
     table_t = table_ref[...]  # (capacity / pack, g_pad) bf16
@@ -48,17 +54,18 @@ def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, *, g_pad: int,
     # the MXU contraction by the pack factor; the word is unpacked with the
     # point's pos % pack below.
     pos_w = pos // pack if pack > 1 else pos
-    pos_col = pos_w.reshape(c, 1)  # (C, 1) relayout
-    sid = jax.lax.broadcasted_iota(I32, (1, cap_p), 1)
-    pos_oh = (pos_col == sid).astype(BF16)  # (C, cap/pack)
-    u = jnp.dot(pos_oh, table_t, preferred_element_type=F32)  # (C, g_pad)
+    sid = jax.lax.broadcasted_iota(I32, (cap_p, c), 0)
+    pos_oh = (sid == pos_w).astype(BF16)  # (cap/pack, C)
+    # u_t[g, i] = table_t[pos_w_i, g]: contract the cap_p axes.
+    u_t = jax.lax.dot_general(table_t, pos_oh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=F32)  # (g_pad, C)
 
-    gid = jax.lax.broadcasted_iota(I32, (1, g_pad), 1)
-    ring_oh = (ids.reshape(c, 1) == gid).astype(F32)  # (C, g_pad)
-    out = jnp.sum(u * ring_oh, axis=1)  # (C,)
+    gid = jax.lax.broadcasted_iota(I32, (g_pad, c), 0)
+    ring_oh = (gid == ids).astype(F32)  # (g_pad, C)
+    out = jnp.sum(u_t * ring_oh, axis=0, keepdims=True)  # (1, C)
     if pack > 1:
         word = out.astype(I32)
-        shift = 2 * (pos.reshape(-1) % pack)
+        shift = 2 * (pos % pack)
         out = (jax.lax.shift_right_logical(word, shift) & 3).astype(F32)
     out_ref[...] = out.reshape(1, 1, c)
 

@@ -88,15 +88,19 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
             sum(limb_counts) * n_groups_pad, ids.shape[1])
 
         # This grid instance owns output columns [col*col_w, (col+1)*col_w).
-        pos_col = pos.reshape(pos.shape[1], 1)  # (C, 1) relayout
-        sid = col * col_w + jax.lax.broadcasted_iota(I32, (1, col_w), 1)
-        pos_oh = (pos_col == sid).astype(bf)  # (C, col_w)
+        # One-hot built TRANSPOSED (col_w on sublanes) so `pos` never leaves
+        # the lane axis — the (C, 1) reshape it replaces was a per-(col,
+        # chunk) lane->sublane relayout.
+        sid = col * col_w + jax.lax.broadcasted_iota(
+            I32, (col_w, pos.shape[1]), 0)
+        pos_oh_t = (sid == pos).astype(bf)  # (col_w, C)
 
         # bf16 x bf16 -> f32 runs the MXU at full rate and is EXACT here:
         # every a entry is a bf16 limb times a {0,1} one-hot, every pos_oh
         # entry is {0,1}, and each output element receives at most one
-        # nonzero product.
-        r = jnp.dot(a, pos_oh, preferred_element_type=F32)
+        # nonzero product.  Contract the C axes (lhs dim 1, rhs dim 1).
+        r = jax.lax.dot_general(a, pos_oh_t, (((1,), (1,)), ((), ())),
+                                preferred_element_type=F32)
 
         # Sum each field's limb rows here in VMEM (exact reconstruction:
         # at most one point lands per output element, so hi+mid+lo are
