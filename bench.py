@@ -26,7 +26,9 @@ def main() -> None:
     # points than firings per revolution); overflow is asserted zero below.
     dims = PipelineDims(max_points=131072, rings=64, ring_capacity=2048,
                         beam_capacity=512)
-    batch = 64
+    # Batch 128 amortizes this backend's 25-30 ms per-jitted-call dispatch
+    # overhead (measured +5% over batch 64; fits comfortably in 16 GB HBM).
+    batch = 128
 
     scans = np.stack([
         pad_scan(

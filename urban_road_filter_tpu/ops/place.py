@@ -152,8 +152,11 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)  # (S, F, C)
 
     # Split the output into column panels so the (3F*G, col_w) out block +
-    # (C, col_w) one-hot fit VMEM alongside the A tile.
-    col_w = min(capacity, 512)
+    # (C, col_w) one-hot fit VMEM alongside the A tile.  256 beats 512:
+    # firing-order chunks advance each ring's write head by only a few
+    # slots, so halving the panel width halves the MXU MACs per active
+    # (col, chunk) pair while the straddle rate grows only slightly.
+    col_w = min(capacity, 256)
     n_cols = capacity // col_w
     # Which (col panel, chunk) pairs receive any point (firing-order scans
     # touch ~1 panel per chunk; skipped pairs cost no VPU/MXU work).

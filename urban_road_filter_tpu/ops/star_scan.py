@@ -34,7 +34,8 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 _LANES = 128
-_ROWS = 8  # 1024 points per grid step
+_ROWS = 16  # 2048 points per grid step (fewer steps amortize the per-step
+# fixed cost; the row-carry matrices grow to (16, 16), still tiny)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -133,11 +134,20 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
     carry[4:5, :] = c_trig
 
     # --- per-beam hit accumulation: hp[b] = pid+1 of the first trigger ---
-    gid = jax.lax.broadcasted_iota(I32, (1, 1, g_pad), 2)
-    ftv = jnp.where(first_trig, pid + F32(1), F32(0))  # f32 before 3-D use
-    hp_acc[...] += jnp.sum(
-        jnp.where(fk[:, :, None] == gid, ftv[:, :, None], F32(0)),
-        axis=1)  # (8, g_pad)
+    # First triggers are sparse (<= one per beam, ~3 per block) and the
+    # stream is beam-sorted, so the dense (8, 128, g_pad) one-hot reduce —
+    # formerly ~75% of this kernel — shrinks to 128-beam windows gated on
+    # the block's triggered-beam range (blocks with no trigger skip all).
+    ftv = jnp.where(first_trig, pid + F32(1), F32(0))
+    fkt_mn = jnp.min(jnp.where(first_trig, fk, I32(1 << 30)))
+    fkt_mx = jnp.max(jnp.where(first_trig, fk, I32(-1)))
+    for lo in range(0, g_pad, _LANES):
+        @pl.when((fkt_mx >= lo) & (fkt_mn < lo + _LANES))
+        def _(lo=lo):
+            gid = lo + jax.lax.broadcasted_iota(I32, (1, 1, _LANES), 2)
+            hp_acc[:, lo:lo + _LANES] += jnp.sum(
+                jnp.where(fk[:, :, None] == gid, ftv[:, :, None], F32(0)),
+                axis=1)  # (8, LANES)
 
     @pl.when(step == n_steps - 1)
     def _():
