@@ -49,11 +49,10 @@ def _marker_kernel(counts_ref, nring_ref, x_ref, y_ref, z_ref, alpha_ref,
                    label_ref, out_ref, state, *, p: int, blocks_per_ring: int,
                    blk_w: int):
     step = pl.program_id(0)
-    win = pl.program_id(1)
     ring = step // blocks_per_ring
     blk = step % blocks_per_ring
 
-    @pl.when((step == 0) & (win == 0))
+    @pl.when(step == 0)
     def _():
         state[...] = jnp.zeros((_BPAD, 8), F32)
         state[:, 0:1] = jnp.full((_BPAD, 1), _BIG, F32)  # f: none yet
@@ -66,60 +65,66 @@ def _marker_kernel(counts_ref, nring_ref, x_ref, y_ref, z_ref, alpha_ref,
     a_ok = valid & (alpha >= 0) & (alpha <= F32(360.0))  # NaN compares false
     binf = jnp.where(a_ok, jnp.floor(alpha), F32(-1.0))  # -1 = no bin
 
-    # Window precheck: the block's occupied bin range vs this window.
+    # Block-level bin range for the per-window prechecks (the window loop
+    # runs in-kernel: a (steps, windows) grid tripled the per-step fixed
+    # cost and re-fetched all five input blocks per window).
     bmn = jnp.min(jnp.where(a_ok, binf, F32(_BIG)))
     bmx = jnp.max(jnp.where(a_ok, binf, F32(-1.0)))
-    lo = (win * _WIN).astype(F32)
 
-    @pl.when((bmx >= lo) & (bmn < lo + _WIN))
-    def _():
-        x = x_ref[0]
-        y = y_ref[0]
-        z = z_ref[0]
-        label = label_ref[0]
-        g = (ring * p + slot).astype(F32)  # scan position (< 2^24: exact)
-        d = jnp.sqrt(x * x + y * y)
-        road = label == F32(LABEL_ROAD)
-        nonroad = (~road) & a_ok
-        candpt = road & (d > 0)
+    x = x_ref[0]
+    y = y_ref[0]
+    z = z_ref[0]
+    label = label_ref[0]
+    g = (ring * p + slot).astype(F32)  # scan position (< 2^24: exact)
+    d = jnp.sqrt(x * x + y * y)
+    road = label == F32(LABEL_ROAD)
+    nonroad = (~road) & a_ok
+    candpt = road & (d > 0)
 
-        bins = lo + jax.lax.broadcasted_iota(
-            I32, (_WIN, blk_w), 0).astype(F32)  # (WIN, W)
-        in_bin = bins == binf  # (WIN, W); binf broadcasts over sublanes
+    for win in range(_NWIN):
+        lo = F32(win * _WIN)
 
-        st = state[pl.ds(win * _WIN, _WIN), :]  # (WIN, 8)
-        f_run = st[:, 0:1]  # (WIN, 1)
+        @pl.when((bmx >= lo) & (bmn < lo + _WIN))
+        def _(win=win, lo=lo):
+            bins = lo + jax.lax.broadcasted_iota(
+                I32, (_WIN, blk_w), 0).astype(F32)  # (WIN, W)
+            in_bin = bins == binf  # (WIN, W); binf broadcasts over sublanes
 
-        nr = in_bin & nonroad
-        f_loc = jnp.min(jnp.where(nr, g, _BIG), axis=1, keepdims=True)
-        f_new = jnp.minimum(f_run, f_loc)
+            st = state[pl.ds(win * _WIN, _WIN), :]  # (WIN, 8)
+            f_run = st[:, 0:1]  # (WIN, 1)
 
-        cand = in_bin & candpt & (g < f_new)
-        d_cand = jnp.where(cand, d, F32(0))
-        maxd_loc = jnp.max(d_cand, axis=1, keepdims=True)  # (WIN, 1)
+            nr = in_bin & nonroad
+            f_loc = jnp.min(jnp.where(nr, g, _BIG), axis=1, keepdims=True)
+            f_new = jnp.minimum(f_run, f_loc)
 
-        maxd_run = st[:, 1:2]
-        better = maxd_loc > maxd_run  # strict: earlier winners keep ties
+            cand = in_bin & candpt & (g < f_new)
+            d_cand = jnp.where(cand, d, F32(0))
+            maxd_loc = jnp.max(d_cand, axis=1, keepdims=True)  # (WIN, 1)
 
-        att = cand & (d_cand == maxd_loc)
-        gstar_loc = jnp.min(jnp.where(att, g, _BIG), axis=1, keepdims=True)
-        mine = att & (g == gstar_loc)
+            maxd_run = st[:, 1:2]
+            better = maxd_loc > maxd_run  # strict: earlier winners keep ties
 
-        def pick(v):  # winner's coordinate (exactly one slot in `mine`)
-            return jnp.sum(jnp.where(mine, v, F32(0)), axis=1, keepdims=True)
+            att = cand & (d_cand == maxd_loc)
+            gstar_loc = jnp.min(jnp.where(att, g, _BIG), axis=1,
+                                keepdims=True)
+            mine = att & (g == gstar_loc)
 
-        new = jnp.concatenate([
-            f_new,
-            jnp.where(better, maxd_loc, maxd_run),
-            jnp.where(better, gstar_loc, st[:, 2:3]),
-            jnp.where(better, pick(x), st[:, 3:4]),
-            jnp.where(better, pick(y), st[:, 4:5]),
-            jnp.where(better, pick(z), st[:, 5:6]),
-            st[:, 6:8],
-        ], axis=1)
-        state[pl.ds(win * _WIN, _WIN), :] = new
+            def pick(v):  # winner's coordinate (exactly one slot in `mine`)
+                return jnp.sum(jnp.where(mine, v, F32(0)), axis=1,
+                               keepdims=True)
 
-    @pl.when((step == pl.num_programs(0) - 1) & (win == _NWIN - 1))
+            new = jnp.concatenate([
+                f_new,
+                jnp.where(better, maxd_loc, maxd_run),
+                jnp.where(better, gstar_loc, st[:, 2:3]),
+                jnp.where(better, pick(x), st[:, 3:4]),
+                jnp.where(better, pick(y), st[:, 4:5]),
+                jnp.where(better, pick(z), st[:, 5:6]),
+                st[:, 6:8],
+            ], axis=1)
+            state[pl.ds(win * _WIN, _WIN), :] = new
+
+    @pl.when(step == pl.num_programs(0) - 1)
     def _():
         out_ref[...] = state[...]
 
@@ -141,14 +146,14 @@ def marker_points_pallas(layout: RingLayout, num_rings, interpret: bool = False)
     out = pl.pallas_call(
         functools.partial(_marker_kernel, p=p,
                           blocks_per_ring=blocks_per_ring, blk_w=blk_w),
-        grid=(r * blocks_per_ring, _NWIN),
+        grid=(r * blocks_per_ring,),
         in_specs=[
-            pl.BlockSpec((1, r), lambda i, k: (0, 0),
+            pl.BlockSpec((1, r), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # counts
-            pl.BlockSpec((1, 1), lambda i, k: (0, 0),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # num_rings
-        ] + [pl.BlockSpec((1, 1, blk_w), lambda i, k: (i, 0, 0))] * 5,
-        out_specs=pl.BlockSpec((_BPAD, 8), lambda i, k: (0, 0)),
+        ] + [pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0))] * 5,
+        out_specs=pl.BlockSpec((_BPAD, 8), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((_BPAD, 8), F32),
         scratch_shapes=[pltpu.VMEM((_BPAD, 8), F32)],
         interpret=interpret,

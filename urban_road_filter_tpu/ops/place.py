@@ -35,26 +35,37 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
-                  n_groups_pad: int, col_w: int, n_fields: int,
-                  limb_counts: tuple):
+                  n_groups_pad: int, col_w: int, cols_per_super: int,
+                  n_fields: int, limb_counts: tuple):
     # `active_ref` lives in SMEM (not scalar-prefetch: jax's vmap batching
     # rule for PrefetchScalarGridSpec falls back to INTERPRET mode, which
     # cost the batched pipeline ~14 ms/step as an XLA while-loop emulation —
     # device-trace r2).  A data-dependent pl.when on an SMEM scalar lowers
     # to a Mosaic scf.if and keeps the column-panel skipping.
+    #
+    # Grid layout: (super-panel, chunk).  The column-panel loop runs INSIDE
+    # the kernel — a (cols, chunks) grid paid ~8x the per-step fixed cost
+    # (block DMA issue + grid bookkeeping) on steps whose body was skipped,
+    # which dominated the kernel at full batch (90 ms/step at b128,
+    # device-trace r2 step 13).
+    super_ = pl.program_id(0)
     step = pl.program_id(1)
-    col = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
+
+    col0 = super_ * cols_per_super
+    act_any = active_ref[col0, step]
+    for j in range(1, cols_per_super):
+        act_any += active_ref[col0 + j, step]
 
     # Column-panel skipping: LiDAR points arrive in firing (azimuth-major)
     # order, so a 512-point chunk advances every ring's write head by only
     # a few slots — each chunk touches ~1 of the capacity/col_w output
     # panels.  The host side precomputes which (col, chunk) pairs receive
     # any point; the rest skip the A-build and the MXU product entirely.
-    @pl.when(active_ref[col, step] > 0)
+    @pl.when(act_any > 0)
     def _():
         ids = ids_ref[0]  # (1, C)
         pos = pos_ref[0]  # (1, C)
@@ -87,35 +98,42 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
         a = (limbs[:, None, :] * ring_oh[None, :, :]).reshape(
             sum(limb_counts) * n_groups_pad, ids.shape[1])
 
-        # This grid instance owns output columns [col*col_w, (col+1)*col_w).
-        # One-hot built TRANSPOSED (col_w on sublanes) so `pos` never leaves
-        # the lane axis — the (C, 1) reshape it replaces was a per-(col,
-        # chunk) lane->sublane relayout.
-        sid = col * col_w + jax.lax.broadcasted_iota(
-            I32, (col_w, pos.shape[1]), 0)
-        pos_oh_t = (sid == pos).astype(bf)  # (col_w, C)
+        for j in range(cols_per_super):
+            @pl.when(active_ref[col0 + j, step] > 0)
+            def _(j=j):
+                # This panel owns output columns [(col0+j)*col_w, +col_w).
+                # One-hot built TRANSPOSED (col_w on sublanes) so `pos`
+                # never leaves the lane axis — the (C, 1) reshape it
+                # replaces was a per-panel lane->sublane relayout.
+                sid = (col0 + j) * col_w + jax.lax.broadcasted_iota(
+                    I32, (col_w, pos.shape[1]), 0)
+                pos_oh_t = (sid == pos).astype(bf)  # (col_w, C)
 
-        # bf16 x bf16 -> f32 runs the MXU at full rate and is EXACT here:
-        # every a entry is a bf16 limb times a {0,1} one-hot, every pos_oh
-        # entry is {0,1}, and each output element receives at most one
-        # nonzero product.  Contract the C axes (lhs dim 1, rhs dim 1).
-        r = jax.lax.dot_general(a, pos_oh_t, (((1,), (1,)), ((), ())),
-                                preferred_element_type=F32)
+                # bf16 x bf16 -> f32 runs the MXU at full rate and is EXACT
+                # here: every a entry is a bf16 limb times a {0,1} one-hot,
+                # every pos_oh entry is {0,1}, and each output element
+                # receives at most one nonzero product.  Contract the C
+                # axes (lhs dim 1, rhs dim 1).
+                r = jax.lax.dot_general(a, pos_oh_t, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=F32)
 
-        # Sum each field's limb rows here in VMEM (exact reconstruction:
-        # at most one point lands per output element, so hi+mid+lo are
-        # three disjoint-exponent parts of one f32 value).  Doing this
-        # in-kernel shrinks the output 3x and removes a measured ~6.9
-        # ms/step XLA repack fusion.
-        parts = []
-        row = 0
-        for nl in limb_counts:
-            t = r[row * n_groups_pad:(row + 1) * n_groups_pad]
-            for k in range(1, nl):
-                t = t + r[(row + k) * n_groups_pad:(row + k + 1) * n_groups_pad]
-            parts.append(t)
-            row += nl
-        out_ref[...] += jnp.concatenate(parts, axis=0)
+                # Sum each field's limb rows here in VMEM (exact
+                # reconstruction: at most one point lands per output
+                # element, so hi+mid+lo are three disjoint-exponent parts
+                # of one f32 value).  Doing this in-kernel shrinks the
+                # output 3x and removes a measured ~6.9 ms/step XLA repack
+                # fusion.
+                parts = []
+                row = 0
+                for nl in limb_counts:
+                    t = r[row * n_groups_pad:(row + 1) * n_groups_pad]
+                    for k in range(1, nl):
+                        t = t + r[(row + k) * n_groups_pad:
+                                  (row + k + 1) * n_groups_pad]
+                    parts.append(t)
+                    row += nl
+                out_ref[:, j * col_w:(j + 1) * col_w] += jnp.concatenate(
+                    parts, axis=0)
 
 
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
@@ -151,13 +169,21 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
         axis=0)  # (F, n_pad)
     vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)  # (S, F, C)
 
-    # Split the output into column panels so the (3F*G, col_w) out block +
-    # (C, col_w) one-hot fit VMEM alongside the A tile.  256 beats 512:
-    # firing-order chunks advance each ring's write head by only a few
-    # slots, so halving the panel width halves the MXU MACs per active
-    # (col, chunk) pair while the straddle rate grows only slightly.
+    # Narrow (256-wide) column panels bound the MXU MACs per active pair
+    # (firing-order chunks advance each ring's write head by only a few
+    # slots, so halving the panel width halves the MACs while the straddle
+    # rate grows only slightly).  Panels are walked INSIDE the kernel; the
+    # grid's column axis only splits the output into VMEM-sized
+    # super-panels (one super-panel for the default 64x2048 layout).
     col_w = min(capacity, 256)
     n_cols = capacity // col_w
+    # Super-panel = as many panels as keep the resident out block <= ~4 MB,
+    # constrained to divide n_cols so panel indices never leave the map.
+    cols_per_super = next(
+        c for c in range(n_cols, 0, -1)
+        if n_cols % c == 0 and c * col_w * nf * g_pad * 4 <= (4 << 20))
+    super_w = cols_per_super * col_w
+    n_super = n_cols // cols_per_super
     # Which (col panel, chunk) pairs receive any point (firing-order scans
     # touch ~1 panel per chunk; skipped pairs cost no VPU/MXU work).
     pos_chunks = pos2.reshape(n_pad // _C, _C)
@@ -168,17 +194,19 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     n_chunks = n_pad // _C
     out = pl.pallas_call(
         functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
-                          n_fields=nf, limb_counts=limb_counts),
-        grid=(n_cols, n_chunks),
+                          cols_per_super=cols_per_super, n_fields=nf,
+                          limb_counts=limb_counts),
+        grid=(n_super, n_chunks),
         in_specs=[
-            pl.BlockSpec((n_cols, n_chunks), lambda c, i: (0, 0),
+            pl.BlockSpec((n_cols, n_chunks), lambda s, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, _C), lambda c, i: (i, 0, 0)),
-            pl.BlockSpec((1, nf, _C), lambda c, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _C), lambda s, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _C), lambda s, i: (i, 0, 0)),
+            pl.BlockSpec((1, nf, _C), lambda s, i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((nf * g_pad, col_w), lambda c, i: (0, c)),
-        out_shape=jax.ShapeDtypeStruct((nf * g_pad, capacity), F32),
+        out_specs=pl.BlockSpec((nf * g_pad, super_w), lambda s, i: (0, s)),
+        out_shape=jax.ShapeDtypeStruct((nf * g_pad, n_super * super_w), F32),
         interpret=interpret,
     )(active, ids2, pos2, vals2)
-    return [out[f * g_pad:f * g_pad + num_groups] for f in range(nf)]
+    return [out[f * g_pad:f * g_pad + num_groups, :capacity]
+            for f in range(nf)]
