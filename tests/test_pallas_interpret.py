@@ -290,3 +290,94 @@ class TestMarkerScanInterpret:
         got = np.asarray(marker_points_pallas(lay, jnp.asarray(0),
                                               interpret=True))
         np.testing.assert_array_equal(got, want)
+
+
+class TestFloodScanInterpret:
+    """ops/flood_scan.py vs the XLA blocked_bits/labeled_mask cubes."""
+
+    def _layout(self, scene, seed, beam_zone, n_rings=16, cap=512):
+        from urban_road_filter_tpu.ops.star import star_shaped
+
+        cfg = FilterConfig(beam_zone=beam_zone)
+        pts = make_scan(SCENES[scene](), n_rings=n_rings, n_azimuth=cap,
+                        seed=seed)
+        pts = jnp.asarray(pts[:n_rings * cap, :4].astype(F32))
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        valid = geometry.roi_mask(pts, cfg)
+        labels0, _ = star_shaped(pts, valid, jnp.zeros(len(pts), jnp.int32),
+                                 cfg, 0)
+        _, av = geometry.vertical_angles(x, y, z)
+        angles, nr = geometry.discover_rings(av, valid, cfg.interval)
+        ring_id = geometry.assign_rings(av, valid, angles, cfg.interval)
+        layout, _ = geometry.tensorize(x, y, z, ring_id, cap, label=labels0)
+        return layout, nr, cfg
+
+    def _check(self, layout, nr, cfg):
+        from urban_road_filter_tpu.ops.blind_spots import (
+            blocked_bits, labeled_mask, sweep_bounds, window_widths)
+        from urban_road_filter_tpu.ops.flood_scan import (
+            blocked_pallas, labeled_pallas)
+        from urban_road_filter_tpu.constants import LABEL_CURB
+
+        alpha, label, counts = layout.alpha, layout.label, layout.counts
+        p = alpha.shape[1]
+        slot_valid = jnp.arange(p)[None, :] < counts[:, None]
+        ring_active = (jnp.arange(alpha.shape[0]) < nr)[:, None]
+        curb = slot_valid & (label == LABEL_CURB)
+        a_ok = (slot_valid & jnp.isfinite(alpha) & (alpha >= 0)
+                & (alpha <= np.float32(360)))
+        w = window_widths(geometry.max_distance(layout), cfg.beam_zone)
+
+        got_bf, got_bb = blocked_pallas(layout, w, cfg.beam_zone,
+                                        interpret=True)
+        reaches = {}
+        for direction, got_b in ((+1, got_bf), (-1, got_bb)):
+            active, lo, hi = sweep_bounds(w, cfg.beam_zone, direction)
+            want_b = np.asarray(blocked_bits(alpha, curb, lo, hi))
+            np.testing.assert_array_equal(np.asarray(got_b), want_b)
+            not_blocked = (~(jnp.asarray(want_b) & ring_active)).astype(I32)
+            reach = ((jnp.cumprod(not_blocked, axis=0) > 0)
+                     & active[None, :] & ring_active)
+            reaches[direction] = reach
+            # each sweep's labeled mask separately (zero the other reach)
+            got_l1 = labeled_pallas(layout, reach if direction > 0 else
+                                    jnp.zeros_like(reach),
+                                    reach if direction < 0 else
+                                    jnp.zeros_like(reach),
+                                    w, cfg.beam_zone, interpret=True)
+            want_l1 = np.asarray(labeled_mask(alpha, a_ok, reach, lo, hi))
+            np.testing.assert_array_equal(np.asarray(got_l1), want_l1)
+        return reaches
+
+    @pytest.mark.parametrize("scene,seed,bz", [
+        ("two_curbs", 0, 30.0),
+        ("blind_spot", 4, 100.0),
+        ("two_curbs", 1, 45.5),   # non-integral: no exact-equality special
+        ("curb_gap", 7, 10.0),
+    ])
+    def test_matches_xla_cubes(self, scene, seed, bz):
+        layout, nr, cfg = self._layout(scene, seed, bz)
+        reaches = self._check(layout, nr, cfg)
+        # The scene must actually exercise both sweeps.
+        assert bool(jnp.any(reaches[+1])) and bool(jnp.any(reaches[-1]))
+
+    def test_nan_azimuth_and_empty_rings(self):
+        # x = y = 0 points (NaN azimuth) must neither block nor be labeled;
+        # empty rings (w = inf) must not derail the prechecks.
+        layout, nr, cfg = self._layout("two_curbs", 2, 10.0)
+        lab = np.asarray(layout.label)
+        alpha = np.asarray(layout.alpha).copy()
+        x = np.asarray(layout.x).copy()
+        y = np.asarray(layout.y).copy()
+        # Inject NaN-azimuth curb points inside the valid range of ring 1.
+        c1 = int(layout.counts[1])
+        assert c1 > 4
+        x[1, : 3] = 0.0
+        y[1, : 3] = 0.0
+        alpha[1, : 3] = np.nan
+        lab = lab.copy()
+        lab[1, : 3] = 2
+        layout = layout._replace(x=jnp.asarray(x), y=jnp.asarray(y),
+                                 alpha=jnp.asarray(alpha),
+                                 label=jnp.asarray(lab))
+        self._check(layout, nr, cfg)

@@ -1,0 +1,288 @@
+"""Pallas flood-fill pass: blocked bits + labeled mask with window skipping.
+
+The XLA path (ops/blind_spots.py) evaluates the two existential quantifiers
+of the road-reachability computation as dense compare-reduce cubes —
+blocked: two pred (R, P, NI) reduces over slots, labeled: two pred
+(R, P, NI) reduces over starts — ~35 ms/step at batch 128 (device trace
+r2 step 14).  These kernels exploit the same structural fact as the marker
+kernel (ops/marker_scan.py): slots within a ring block span a narrow
+azimuth range, so the 362 sweep-start axis splits into three static
+128-start windows (starts ride SUBLANES, slots stay on LANES — no
+lane<->sublane relayouts) and a cheap min/max precheck skips windows the
+block cannot touch.  The layout need not be azimuth-sorted for
+correctness — the precheck uses the block's actual range — but
+near-sortedness (firing order) is what makes the skipping effective.
+
+Semantics match ops/blind_spots.py bit-for-bit (pinned by
+tests/test_pallas_interpret.py): per-(ring, start) windows
+[i, i+w_k] / [i-w_k, i] in f32, the `i == 360-beamZone` / `i == beamZone`
+exact-equality specials for rings k >= 1 (blind_spots.cpp:136-143,
+244-251), NaN azimuths never blocking and never labeled (NaN compares
+false, like the C++ walk).
+
+Reference: blind_spots.cpp:7-284.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from urban_road_filter_tpu.constants import LABEL_CURB
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+_WIN = 128  # starts per window (sublane tile)
+_NWIN = 3  # 3 * 128 = 384 >= 362
+_SPAD = _WIN * _NWIN
+_BIG = 3.0e38
+
+
+def _win_starts(win: int):
+    """(WIN, 1) f32 column of start angles for window `win`."""
+    return F32(win * _WIN) + jax.lax.broadcasted_iota(
+        I32, (_WIN, 1), 0).astype(F32)
+
+
+def _specials(bz: float):
+    """Static special-start angles, f32-exact like sweep_bounds:
+    forward `F32(360) - bz`, backward `bz`."""
+    import numpy as np
+
+    return (float(np.float32(360.0) - np.float32(bz)),
+            float(np.float32(bz)))
+
+
+def _blocked_kernel(counts_ref, w_ref, alpha_ref, label_ref, out_ref, state,
+                    *, blocks_per_ring: int, blk_w: int, bz: float):
+    step = pl.program_id(0)
+    ring = step // blocks_per_ring
+    blk = step % blocks_per_ring
+
+    @pl.when(blk == 0)
+    def _():
+        state[...] = jnp.zeros((_SPAD, 8), F32)
+
+    slot0 = blk * blk_w
+    slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
+    valid = slot < counts_ref[0, ring]
+
+    alpha = alpha_ref[0]  # (1, W)
+    label = label_ref[0]
+    curb = valid & (label == F32(LABEL_CURB))
+
+    # Block curb-azimuth range for the prechecks.  NaN azimuths are
+    # excluded here (they would poison the min/max) but kept raw in the
+    # in-window compares below, where IEEE NaN-compares-false reproduces
+    # the XLA/C++ "NaN never blocks" semantics.
+    a_fin = curb & (alpha >= F32(-_BIG)) & (alpha <= F32(_BIG))
+    amn = jnp.min(jnp.where(a_fin, alpha, F32(_BIG)))
+    amx = jnp.max(jnp.where(a_fin, alpha, F32(-_BIG)))
+
+    w = w_ref[0, ring]  # window width, degrees (f32; inf for empty rings)
+    ring_ge1 = ring >= 1
+    # Exact-equality specials exist only when 360-bz / bz are integral
+    # (starts are integers); their window index is static.  f32 arithmetic
+    # to match sweep_bounds' `F32(360) - bz` exactly.
+    sp_f, sp_b = _specials(bz)
+
+    for win in range(_NWIN):
+        s0 = F32(win * _WIN)
+        s1 = F32(win * _WIN + _WIN - 1)
+        i_col = _win_starts(win)
+
+        # Forward sweep: window [i, i+w] (hi -> 360 at the special start).
+        act_f = (s0 <= amx) & (s1 + w >= amn)
+        if sp_f == int(sp_f) and win * _WIN <= int(sp_f) < (win + 1) * _WIN:
+            act_f |= F32(sp_f) <= amx  # special hi=360 covers any amn
+
+        @pl.when(act_f)
+        def _(win=win, i_col=i_col):
+            hi = jnp.where((i_col == F32(sp_f)) & ring_ge1, F32(360),
+                           i_col + w)
+            in_win = (alpha >= i_col) & (alpha <= hi) & curb  # (WIN, W)
+            got = jnp.max(jnp.where(in_win, F32(1), F32(0)), axis=1,
+                          keepdims=True)
+            state[pl.ds(win * _WIN, _WIN), 0:1] = jnp.maximum(
+                state[pl.ds(win * _WIN, _WIN), 0:1], got)
+
+        # Backward sweep: window [i-w, i] (lo -> 0 at the special start).
+        act_b = (s1 >= amn) & (s0 <= amx + w)
+        if sp_b == int(sp_b) and win * _WIN <= int(sp_b) < (win + 1) * _WIN:
+            act_b |= F32(sp_b) >= amn  # special lo=0 covers any amx
+
+        @pl.when(act_b)
+        def _(win=win, i_col=i_col):
+            lo = jnp.where((i_col == F32(sp_b)) & ring_ge1, F32(0),
+                           i_col - w)
+            in_win = (alpha >= lo) & (alpha <= i_col) & curb
+            got = jnp.max(jnp.where(in_win, F32(1), F32(0)), axis=1,
+                          keepdims=True)
+            state[pl.ds(win * _WIN, _WIN), 1:2] = jnp.maximum(
+                state[pl.ds(win * _WIN, _WIN), 1:2], got)
+
+    @pl.when(blk == blocks_per_ring - 1)
+    def _():
+        # (SPAD, 8) -> (8, SPAD) so the HBM output's minor dim is a full
+        # lane multiple (a minor dim of 8 tile-pads 16x in HBM — the
+        # padded writes cost more than this one small relayout per ring).
+        out_ref[0] = state[...].T
+
+
+def blocked_pallas(layout, w, bz: float, interpret: bool = False):
+    """(blocked_fwd, blocked_bwd), each (R, 362) bool: any curb point of
+    ring k inside the sweep window of start i (ops/blind_spots.py
+    `blocked_bits` for both sweep directions in one pass)."""
+    r, p = layout.alpha.shape
+    blk_w = min(512, p)
+    assert p % blk_w == 0, (r, p)
+    blocks_per_ring = p // blk_w
+
+    counts = layout.counts.astype(I32).reshape(1, r)
+    w2 = w.astype(F32).reshape(1, r)
+
+    def blk3(a):
+        return a.reshape(r * blocks_per_ring, 1, blk_w)
+
+    out = pl.pallas_call(
+        functools.partial(_blocked_kernel, blocks_per_ring=blocks_per_ring,
+                          blk_w=blk_w, bz=float(bz)),
+        grid=(r * blocks_per_ring,),
+        in_specs=[
+            pl.BlockSpec((1, r), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # counts
+            pl.BlockSpec((1, r), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # window widths
+            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
+            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # label
+        ],
+        out_specs=pl.BlockSpec((1, 8, _SPAD),
+                               lambda i: (i // blocks_per_ring, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, 8, _SPAD), F32),
+        scratch_shapes=[pltpu.VMEM((_SPAD, 8), F32)],
+        interpret=interpret,
+    )(counts, w2, blk3(layout.alpha), blk3(layout.label.astype(F32)))
+    return out[:, 0, :362] > 0, out[:, 1, :362] > 0
+
+
+def _labeled_kernel(counts_ref, w_ref, reach_ref, alpha_ref,
+                    out_ref, *, blocks_per_ring: int, blk_w: int, bz: float,
+                    r: int):
+    step = pl.program_id(0)
+    ring = step // blocks_per_ring
+    blk = step % blocks_per_ring
+
+    slot0 = blk * blk_w
+    slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
+    valid = slot < counts_ref[0, ring]
+
+    alpha = alpha_ref[0]  # (1, W)
+    a_ok = valid & (alpha >= 0) & (alpha <= F32(360))  # NaN/inf excluded
+
+    amn = jnp.min(jnp.where(a_ok, alpha, F32(_BIG)))
+    amx = jnp.max(jnp.where(a_ok, alpha, F32(-_BIG)))
+
+    w = w_ref[0, ring]
+    ring_ge1 = ring >= 1
+    sp_f, sp_b = _specials(bz)
+
+    # This ring's reach columns (fwd at `ring`, bwd at `r + ring`) out of
+    # the lane-resident (SPAD, 2R) table, extracted by masked lane-reduce
+    # (a width-1 dynamic lane slice is not liftable; a (SPAD, 2R) select +
+    # reduce is one cheap VPU pass and keeps every HBM array lane-major).
+    lane = jax.lax.broadcasted_iota(I32, (_SPAD, 2 * r), 1)
+    tbl = reach_ref[...]
+    reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
+                      keepdims=True)  # (SPAD, 1)
+    reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)), axis=1,
+                      keepdims=True)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    for win in range(_NWIN):
+        s0 = F32(win * _WIN)
+        s1 = F32(win * _WIN + _WIN - 1)
+        i_col = _win_starts(win)
+
+        # Forward: slot labeled by start i iff reach_f[i] & alpha in
+        # [i, i+w] -> i in [alpha-w, alpha]; window precheck vs the
+        # block's valid-azimuth range.
+        act_f = (s0 <= amx) & (s1 + w >= amn)
+        if sp_f == int(sp_f) and win * _WIN <= int(sp_f) < (win + 1) * _WIN:
+            act_f |= F32(sp_f) <= amx
+
+        @pl.when(act_f)
+        def _(win=win, i_col=i_col):
+            reach = reach_f[win * _WIN:(win + 1) * _WIN, 0:1]  # (WIN, 1)
+            hi = jnp.where((i_col == F32(sp_f)) & ring_ge1, F32(360),
+                           i_col + w)
+            cond = (reach > 0) & (alpha >= i_col) & (alpha <= hi)
+            got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
+                          keepdims=True)  # (1, W)
+            out_ref[0] = jnp.maximum(out_ref[0], got)
+
+        # Backward: alpha in [i-w, i] -> i in [alpha, alpha+w].
+        act_b = (s1 >= amn) & (s0 <= amx + w)
+        if sp_b == int(sp_b) and win * _WIN <= int(sp_b) < (win + 1) * _WIN:
+            act_b |= F32(sp_b) >= amn
+
+        @pl.when(act_b)
+        def _(win=win, i_col=i_col):
+            reach = reach_b[win * _WIN:(win + 1) * _WIN, 0:1]
+            lo = jnp.where((i_col == F32(sp_b)) & ring_ge1, F32(0),
+                           i_col - w)
+            cond = (reach > 0) & (alpha >= lo) & (alpha <= i_col)
+            got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
+                          keepdims=True)
+            out_ref[0] = jnp.maximum(out_ref[0], got)
+
+    # Padding / invalid-azimuth slots never take a label.
+    out_ref[0] = jnp.where(a_ok, out_ref[0], F32(0))
+
+
+def labeled_pallas(layout, reach_f, reach_b, w, bz: float,
+                   interpret: bool = False):
+    """(R, P) bool road mask: slot reachable by any start of either sweep
+    (ops/blind_spots.py `labeled_mask` for both sweeps in one pass).
+    reach_f/reach_b: (R, 362) bool (already gated on active & ~gate &
+    ring_active by the caller)."""
+    r, p = layout.alpha.shape
+    blk_w = min(512, p)
+    assert p % blk_w == 0, (r, p)
+    blocks_per_ring = p // blk_w
+
+    counts = layout.counts.astype(I32).reshape(1, r)
+    w2 = w.astype(F32).reshape(1, r)
+
+    # One (SPAD, 2R) table: starts on sublanes, fwd reach in columns
+    # [0, R), bwd in [R, 2R) — lane-major throughout, resident across the
+    # whole grid (constant index map), no 1-lane HBM arrays anywhere.
+    reach = jnp.concatenate([reach_f.astype(F32), reach_b.astype(F32)],
+                            axis=0)
+    reach = jnp.pad(reach, ((0, 0), (0, _SPAD - reach.shape[1]))).T
+
+    def blk3(a):
+        return a.reshape(r * blocks_per_ring, 1, blk_w)
+
+    out = pl.pallas_call(
+        functools.partial(_labeled_kernel, blocks_per_ring=blocks_per_ring,
+                          blk_w=blk_w, bz=float(bz), r=r),
+        grid=(r * blocks_per_ring,),
+        in_specs=[
+            pl.BlockSpec((1, r), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # counts
+            pl.BlockSpec((1, r), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # window widths
+            pl.BlockSpec((_SPAD, 2 * r), lambda i: (0, 0)),  # reach table
+            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
+        ],
+        out_specs=pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((r * blocks_per_ring, 1, blk_w), F32),
+        interpret=interpret,
+    )(counts, w2, reach, blk3(layout.alpha))
+    return out.reshape(r, p) > 0
