@@ -139,7 +139,7 @@ def blocked_pallas(layout, w, bz: float, interpret: bool = False):
     ring k inside the sweep window of start i (ops/blind_spots.py
     `blocked_bits` for both sweep directions in one pass)."""
     r, p = layout.alpha.shape
-    blk_w = min(512, p)
+    blk_w = min(1024, p)
     assert p % blk_w == 0, (r, p)
     blocks_per_ring = p // blk_w
 
@@ -252,7 +252,7 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz: float,
     reach_f/reach_b: (R, 362) bool (already gated on active & ~gate &
     ring_active by the caller)."""
     r, p = layout.alpha.shape
-    blk_w = min(512, p)
+    blk_w = min(1024, p)
     assert p % blk_w == 0, (r, p)
     blocks_per_ring = p // blk_w
 

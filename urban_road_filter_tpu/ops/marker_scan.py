@@ -133,7 +133,7 @@ def marker_points_pallas(layout: RingLayout, num_rings, interpret: bool = False)
     """Dense (361, 6) marker table [exists, x, y, z, red, bin] from the
     azimuth-sorted layout — matches ops.markers.marker_points exactly."""
     r, p = layout.alpha.shape
-    blk_w = min(512, p)  # slots per grid step
+    blk_w = min(1024, p)  # slots per grid step
     assert p % blk_w == 0, (r, p)
     blocks_per_ring = p // blk_w
 

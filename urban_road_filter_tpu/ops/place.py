@@ -175,7 +175,7 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     # rate grows only slightly).  Panels are walked INSIDE the kernel; the
     # grid's column axis only splits the output into VMEM-sized
     # super-panels (one super-panel for the default 64x2048 layout).
-    col_w = min(capacity, 256)
+    col_w = min(capacity, 128)
     n_cols = capacity // col_w
     # Super-panel = as many panels as keep the resident out block <= ~4 MB,
     # constrained to divide n_cols so panel indices never leave the map.

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 I32 = jnp.int32
 
 _LANES = 128
-_ROWS = 16  # rows per grid step -> 2048 points; VMEM ~= ROWS*LANES*G*4B
+_ROWS = 32  # rows per grid step -> 4096 points; VMEM ~= ROWS*LANES*G*4B
 
 
 def _round_up(v: int, m: int) -> int:
@@ -48,15 +48,17 @@ def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
     ids = ids_ref[...]  # (rows, LANES) int32, row-major point order
 
     # Within-row exclusive same-group count: lane l counts lanes l' < l.
-    same = (ids[:, :, None] == ids[:, None, :]).astype(I32)  # (rows, L, L')
+    # Masks stay BOOLEAN end-to-end — materializing the (rows, L, L') cube
+    # as i32 made this kernel VMEM-bandwidth-bound (2 MB per intermediate).
     lane = jax.lax.broadcasted_iota(I32, (1, _LANES, _LANES), 1)
     lane_p = jax.lax.broadcasted_iota(I32, (1, _LANES, _LANES), 2)
-    within_row = jnp.sum(same * (lane_p < lane), axis=2)  # (rows, LANES)
+    same_lt = (ids[:, :, None] == ids[:, None, :]) & (lane_p < lane)
+    within_row = jnp.sum(same_lt, axis=2, dtype=I32)  # (rows, LANES)
 
     # Per-row group counts + exclusive across-row prefix within the block.
     gids = jax.lax.broadcasted_iota(I32, (1, 1, g_pad), 2)
-    oh3 = (ids[:, :, None] == gids).astype(I32)  # (rows, LANES, g_pad)
-    rowcnt = jnp.sum(oh3, axis=1)  # (rows, g_pad)
+    oh3 = ids[:, :, None] == gids  # (rows, LANES, g_pad) bool
+    rowcnt = jnp.sum(oh3, axis=1, dtype=I32)  # (rows, g_pad)
     r_i = jax.lax.broadcasted_iota(I32, (rows, rows), 0)
     r_j = jax.lax.broadcasted_iota(I32, (rows, rows), 1)
     lt = (r_j < r_i).astype(jnp.float32)  # strictly-lower triangular
@@ -64,7 +66,7 @@ def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
                        preferred_element_type=jnp.float32).astype(I32)
 
     base = running[0:1, :] + row_base  # (rows, g_pad) counts before each row
-    base_sel = jnp.sum(oh3 * base[:, None, :], axis=2)  # (rows, LANES)
+    base_sel = jnp.sum(jnp.where(oh3, base[:, None, :], I32(0)), axis=2)
 
     pos_ref[...] = within_row + base_sel
     running[0:1, :] = running[0:1, :] + jnp.sum(rowcnt, axis=0, keepdims=True)

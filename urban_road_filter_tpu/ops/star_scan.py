@@ -34,7 +34,7 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 _LANES = 128
-_ROWS = 16  # 2048 points per grid step (fewer steps amortize the per-step
+_ROWS = 64  # 8192 points per grid step (fewer steps amortize the per-step
 # fixed cost; the row-carry matrices grow to (16, 16), still tiny)
 
 
