@@ -56,8 +56,22 @@ def main() -> None:
 
     assert int(np.asarray(out.overflow).max()) == 0, "ring capacity overflow"
     assert int(np.asarray(out.star_overflow).max()) == 0, "beam capacity overflow"
-    scans_per_sec = batch / dt
-    step_ms = dt * 1000.0  # per-batch step latency
+    step_ms = dt * 1000.0  # per-batch step latency, dispatch included
+
+    # Steady-state streaming throughput: two batches in flight (the replay
+    # harness double-buffers the same way, SURVEY.md section 5).  The
+    # ~25-30 ms per-call host dispatch overlaps the device step, so this
+    # measures the device-busy floor; every batch's result is still
+    # FETCHED inside the timed window (same sync rule as above).
+    inflight = [process_batch_jit(pts, cfg, dims)]
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        inflight.append(process_batch_jit(pts, cfg, dims))
+        np.asarray(inflight.pop(0).ok)
+    dt_pipe = (time.perf_counter() - t0) / iters
+    np.asarray(inflight.pop(0).ok)
+    scans_per_sec = batch / dt_pipe
 
     # Single-scan latency (BASELINE.md: "p50 reported per scan" — the
     # reference's operating mode is one scan at a time, queue depth 1).
@@ -93,6 +107,7 @@ def main() -> None:
         "detail": {
             "batch": batch,
             "step_ms": round(step_ms, 2),
+            "pipelined_step_ms": round(dt_pipe * 1000.0, 2),
             "latency_ms_p50": round(latency_ms_p50, 2),
             "parity": round(parity, 5),
             "points_per_scan": dims.max_points,

@@ -63,6 +63,7 @@ def parse_xplane(path: str, top: int = 30):
         data = f.read()
 
     totals = {}
+    line_totals = {}
     # XSpace{planes=1} / XPlane{name=2, lines=3, event_metadata=4}
     # XLine{name=2, events=4 in this proto build} /
     # XEvent{metadata_id=1, duration_ps=3} / XEventMetadata{id=1, name=2}
@@ -101,8 +102,7 @@ def parse_xplane(path: str, top: int = 30):
                     lname = v3.decode(errors="replace")
                 elif t3 == 4 and isinstance(v3, bytes):
                     events.append(v3)
-            if lname != "XLA Ops":
-                continue
+            ltot = 0
             for ev in events:
                 mid, dur = None, 0
                 for t4, v4 in fields(ev):
@@ -110,10 +110,16 @@ def parse_xplane(path: str, top: int = 30):
                         mid = v4
                     elif t4 == 3:
                         dur = v4
-                if mid is not None:
+                ltot += dur
+                if lname == "XLA Ops" and mid is not None:
                     key = meta.get(mid, f"#{mid}")
                     totals[key] = totals.get(key, 0) + dur
-    return sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+            if events:
+                key = f"{name} :: {lname}"
+                line_totals[key] = (line_totals.get(key, (0, 0))[0] + ltot,
+                                    line_totals.get(key, (0, 0))[1]
+                                    + len(events))
+    return sorted(totals.items(), key=lambda kv: -kv[1])[:top], line_totals
 
 
 def main():
@@ -160,8 +166,10 @@ def main():
     if not files:
         print("no xplane produced; inspect", args.out)
         return
-    rows = parse_xplane(files[-1])
-    total = sum(d for _, d in rows)
+    rows, line_totals = parse_xplane(files[-1])
+    print("plane/line totals (all events):")
+    for key, (tot, cnt) in sorted(line_totals.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {tot/1e9/args.iters:9.3f} ms/step  {cnt:7d} events  {key[:80]}")
     print(f"top device ops ({files[-1]}), {args.iters} iters:")
     for name, dur_ps in rows:
         ms = dur_ps / 1e9 / args.iters

@@ -29,14 +29,14 @@ F32 = jnp.float32
 I32 = jnp.int32
 BF16 = jnp.bfloat16
 
-_C = 512  # points per grid step
+_C = 4096  # points per grid step
 
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, *, g_pad: int,
+def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, acc, *, g_pad: int,
                    pack: int):
     # Transpose-free layout: every tensor keeps the POINT axis on lanes.
     # The round-2a version reshaped pos/ids to (C, 1) and row-reduced over
@@ -54,15 +54,30 @@ def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, *, g_pad: int,
     # the MXU contraction by the pack factor; the word is unpacked with the
     # point's pos % pack below.
     pos_w = pos // pack if pack > 1 else pos
-    sid = jax.lax.broadcasted_iota(I32, (cap_p, c), 0)
-    pos_oh = (sid == pos_w).astype(BF16)  # (cap/pack, C)
-    # u_t[g, i] = table_t[pos_w_i, g]: contract the cap_p axes.
-    u_t = jax.lax.dot_general(table_t, pos_oh, (((0,), (0,)), ((), ())),
-                              preferred_element_type=F32)  # (g_pad, C)
+
+    # Window the table's slot axis: an input-order chunk advances every
+    # ring's slot by only a few positions, so pos_w spans ~1 of the
+    # 128-row table panels — the others skip their one-hot AND their MXU
+    # contraction entirely.
+    inr = pos_w < cap_p
+    pmn = jnp.min(jnp.where(inr, pos_w, I32(2 * cap_p)))
+    pmx = jnp.max(jnp.where(inr, pos_w, I32(-1)))
+    acc[...] = jnp.zeros_like(acc)
+    for k in range(0, cap_p, 128):
+        kw = min(128, cap_p - k)
+
+        @pl.when((pmx >= k) & (pmn < k + kw))
+        def _(k=k, kw=kw):
+            sid = k + jax.lax.broadcasted_iota(I32, (kw, c), 0)
+            pos_oh = (sid == pos_w).astype(BF16)  # (kw, C)
+            # u_t[g, i] = table_t[pos_w_i, g]: contract the slot axes.
+            acc[...] += jax.lax.dot_general(
+                table_t[k:k + kw], pos_oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=F32)  # (g_pad, C)
 
     gid = jax.lax.broadcasted_iota(I32, (g_pad, c), 0)
     ring_oh = (gid == ids).astype(F32)  # (g_pad, C)
-    out = jnp.sum(u_t * ring_oh, axis=0, keepdims=True)  # (1, C)
+    out = jnp.sum(acc[...] * ring_oh, axis=0, keepdims=True)  # (1, C)
     if pack > 1:
         word = out.astype(I32)
         shift = 2 * (pos % pack)
@@ -119,6 +134,7 @@ def gather_by_group_pos(table, ids, pos, interpret: bool = False,
         out_specs=pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad // _C, 1, _C), F32),
+        scratch_shapes=[pltpu.VMEM((g_pad, _C), F32)],
         interpret=interpret,
     )(ids2, pos2, table_t)
     return out.reshape(-1)[:n].astype(table.dtype)

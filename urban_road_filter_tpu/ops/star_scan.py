@@ -66,20 +66,27 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
     # --- within-row segmented scans: log-depth Hillis-Steele over lanes ---
     lane2 = jax.lax.broadcasted_iota(I32, (_ROWS, _LANES), 1)
 
+    # The absorb masks depend only on the (shared) reset flags, so the
+    # flag-propagation rolls run ONCE and the masks are reused by all
+    # three scan invocations (they were ~25% of this kernel's lane rolls).
+    absorbs = []
+    flag = first_i
+    for d in (1, 2, 4, 8, 16, 32, 64):
+        okl = lane2 >= d
+        absorbs.append(okl & (flag == 0))  # don't pull across a seg start
+        flag = jnp.where(okl, flag | pltpu.roll(flag, d, axis=1), flag)
+    row_open_all = flag == 0
+
     def seg_scan_rows(values):
         """Inclusive segmented prefix sums of several (8, 128) f32 arrays
         (shared reset flags `first_i`), within each row.  7 masked
         roll-add rounds instead of a lane-triangular reduce.  Returns the
         scanned values plus `row_open` (no reset at or before each lane)."""
         vs = list(values)
-        flag = first_i
-        for d in (1, 2, 4, 8, 16, 32, 64):
-            okl = lane2 >= d
-            absorb = okl & (flag == 0)  # don't pull across a segment start
+        for absorb, d in zip(absorbs, (1, 2, 4, 8, 16, 32, 64)):
             for i, v in enumerate(vs):
                 vs[i] = jnp.where(absorb, v + pltpu.roll(v, d, axis=1), v)
-            flag = jnp.where(okl, flag | pltpu.roll(flag, d, axis=1), flag)
-        return vs, flag == 0
+        return vs, row_open_all
 
     # --- row-level carry machinery (shared by every scanned value) ---
     has_reset = jnp.max(first_i, axis=1, keepdims=True)  # (8, 1) i32
