@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 I32 = jnp.int32
 
-_C = 512  # points per grid step (VMEM: out 2.6MB + pos_oh 4MB + A 0.7MB)
+_C = 1024  # points per grid step
 
 
 def _round_up(v: int, m: int) -> int:
