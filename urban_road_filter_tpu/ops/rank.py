@@ -66,6 +66,10 @@ def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
                        preferred_element_type=jnp.float32).astype(I32)
 
     base = running[0:1, :] + row_base  # (rows, g_pad) counts before each row
+    # (Measured dead end: replacing this select cube with Mosaic's vreg
+    # lane-gather (take_along_axis, g_pad == 128 form) REGRESSED the
+    # kernel 25.3 -> 30.5 ms/step at b128 — the per-lane dynamic shuffle
+    # lowers to a longer instruction sequence than the where+reduce.)
     base_sel = jnp.sum(jnp.where(oh3, base[:, None, :], I32(0)), axis=2)
 
     pos_ref[...] = within_row + base_sel
