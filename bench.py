@@ -55,7 +55,9 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     assert int(np.asarray(out.overflow).max()) == 0, "ring capacity overflow"
-    assert int(np.asarray(out.star_overflow).max()) == 0, "beam capacity overflow"
+    # star_overflow is structurally 0 since round 2 (no beam truncation);
+    # kept as an output-schema check.
+    assert int(np.asarray(out.star_overflow).max()) == 0, "star_overflow schema"
     step_ms = dt * 1000.0  # per-batch step latency, dispatch included
 
     # Steady-state streaming throughput: two batches in flight (the replay

@@ -116,6 +116,19 @@ class TestPcd:
             assert lzf_decompress(comp, len(blob)) == blob
         assert len(lzf_compress(b"\x00" * 5000)) < 100
 
+    def test_lzf_truncated_backref_raises_valueerror(self):
+        # Regression (code review r2): a back-reference cut mid-token
+        # (missing length-extension or distance byte) surfaced as a bare
+        # IndexError instead of the codec's ValueError contract.
+        import pytest
+
+        from urban_road_filter_tpu.io.pcd import lzf_decompress
+
+        with pytest.raises(ValueError):
+            lzf_decompress(bytes([7 << 5]), 10)  # missing extension byte
+        with pytest.raises(ValueError):
+            lzf_decompress(bytes([1 << 5]), 10)  # missing distance byte
+
     def test_lzf_known_backref_vector(self):
         # Hand-built stream: 3 literals 'abc', then a distance-3 length-6
         # back-reference (overlapping copy) -> 'abcabcabcabc'... checks the

@@ -95,6 +95,28 @@ class TestGroupPlaceInterpret:
         assert np.isfinite(o).all()
         np.testing.assert_array_equal(o, want[0])
 
+    def test_capacity_not_panel_multiple(self):
+        # Regression (code review r2): capacities in (128, 512] not divisible
+        # by the 128-wide column panel were silently truncated to
+        # n_cols*col_w (e.g. 192 -> 128), dropping slots >= 128 of every
+        # group with overflow still 0.
+        rng = np.random.default_rng(5)
+        n, g, cap = 2048, 4, 192
+        ids = rng.integers(0, g, n).astype(I32)
+        pos = np.zeros(n, I32)
+        counts = {}
+        for i, gid in enumerate(ids):
+            pos[i] = counts.get(int(gid), 0)
+            counts[int(gid)] = pos[i] + 1
+        assert max(counts.values()) > 128  # slots beyond the first panel
+        vals = [rng.standard_normal(n).astype(F32)]
+        want = _scatter_reference(ids, pos, vals, g, cap)
+        got = group_place_pallas(jnp.asarray(ids), jnp.asarray(pos),
+                                 [jnp.asarray(vals[0])], g, cap,
+                                 interpret=True)
+        assert got[0].shape == (g, cap)
+        np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+
     def test_full_f32_values_exact(self):
         # 3-limb decomposition must reconstruct arbitrary f32 bit patterns.
         rng = np.random.default_rng(2)

@@ -193,7 +193,9 @@ class PipelineDims:
     # high-channel sensors — discovery, binning, flood fill and markers all
     # scale with this)
     ring_capacity: int = 4096  # slots per ring (P)
-    beam_capacity: int = 1024  # radial slots per star-shaped beam (K)
+    beam_capacity: int = 1024  # DEPRECATED: the round-2 star path keeps
+    # every point per beam (no radial truncation), so this no longer
+    # affects results; retained for preset/API compatibility
 
     def __post_init__(self) -> None:
         if (self.max_points <= 0 or self.rings <= 0

@@ -40,8 +40,14 @@ def lzf_decompress(data: bytes, expected_size: int) -> bytes:
         else:  # back-reference
             length = ctrl >> 5
             if length == 7:
+                if i >= n:
+                    raise ValueError("LZF back-reference truncated "
+                                     "(missing length-extension byte)")
                 length += data[i]
                 i += 1
+            if i >= n:
+                raise ValueError("LZF back-reference truncated "
+                                 "(missing distance byte)")
             ref = len(out) - ((ctrl & 0x1F) << 8) - data[i] - 1
             i += 1
             if ref < 0:

@@ -61,7 +61,7 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
         act_any += active_ref[col0 + j, step]
 
     # Column-panel skipping: LiDAR points arrive in firing (azimuth-major)
-    # order, so a 512-point chunk advances every ring's write head by only
+    # order, so a _C-point chunk advances every ring's write head by only
     # a few slots — each chunk touches ~1 of the capacity/col_w output
     # panels.  The host side precomputes which (col, chunk) pairs receive
     # any point; the rest skip the A-build and the MXU product entirely.
@@ -169,14 +169,18 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
         axis=0)  # (F, n_pad)
     vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)  # (S, F, C)
 
-    # Narrow (256-wide) column panels bound the MXU MACs per active pair
+    # Narrow (128-wide) column panels bound the MXU MACs per active pair
     # (firing-order chunks advance each ring's write head by only a few
     # slots, so halving the panel width halves the MACs while the straddle
     # rate grows only slightly).  Panels are walked INSIDE the kernel; the
     # grid's column axis only splits the output into VMEM-sized
     # super-panels (one super-panel for the default 64x2048 layout).
+    # Capacities that are not panel multiples are padded up (the padded
+    # slots receive nothing: `lands` uses the true capacity) and sliced
+    # back below — a 192-slot layout must not silently truncate.
     col_w = min(capacity, 128)
-    n_cols = capacity // col_w
+    cap_pad = _round_up(capacity, col_w)
+    n_cols = cap_pad // col_w
     # Super-panel = as many panels as keep the resident out block <= ~4 MB,
     # constrained to divide n_cols so panel indices never leave the map.
     cols_per_super = next(

@@ -12,7 +12,7 @@ measured at ~0.8 ms/scan.  This kernel streams each element exactly once:
 
   * within a 128-lane row, segmented prefix sums are lane-triangular
     masked reduces from each lane's last reset position;
-  * across the 8 rows of a block, a tiny (8, 8) row-level pass;
+  * across the _ROWS rows of a block, a tiny (_ROWS, _ROWS) row-level pass;
   * across blocks, carries live in VMEM scratch (TPU grids run in order,
     same trick as ops/rank.py).
 
@@ -54,7 +54,7 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
         carry[...] = jnp.zeros_like(carry)
         hp_acc[...] = jnp.zeros_like(hp_acc)
 
-    fk = fk_ref[...]  # (8, 128) i32
+    fk = fk_ref[...]  # (_ROWS, 128) i32
     first_i = first_ref[...]  # i32 {0,1}
     first = first_i != 0
     wk = wk_ref[...] != 0
@@ -78,7 +78,7 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
     row_open_all = flag == 0
 
     def seg_scan_rows(values):
-        """Inclusive segmented prefix sums of several (8, 128) f32 arrays
+        """Inclusive segmented prefix sums of several (_ROWS, 128) f32 arrays
         (shared reset flags `first_i`), within each row.  7 masked
         roll-add rounds instead of a lane-triangular reduce.  Returns the
         scanned values plus `row_open` (no reset at or before each lane)."""
@@ -89,7 +89,7 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
         return vs, row_open_all
 
     # --- row-level carry machinery (shared by every scanned value) ---
-    has_reset = jnp.max(first_i, axis=1, keepdims=True)  # (8, 1) i32
+    has_reset = jnp.max(first_i, axis=1, keepdims=True)  # (_ROWS, 1) i32
     ki = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 0)
     kj = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 1)
     hr_j = jnp.broadcast_to(has_reset.reshape(1, _ROWS), (_ROWS, _ROWS))
@@ -100,7 +100,7 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
 
     def add_carries(rs, row_open, carry_row):
         """Add row- and block-level carries to a row-scanned value."""
-        rowtot = rs[:, _LANES - 1:_LANES]  # (8, 1) value at lane 127
+        rowtot = rs[:, _LANES - 1:_LANES]  # (_ROWS, 1) value at lane 127
         rt_j = jnp.broadcast_to(rowtot.reshape(1, _ROWS), (_ROWS, _ROWS))
         carry_in = jnp.sum(jnp.where(carry_sel, rt_j, F32(0)), axis=1,
                            keepdims=True)  # (8, 1)

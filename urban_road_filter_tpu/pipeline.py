@@ -46,14 +46,16 @@ class ScanResult(NamedTuple):
 
     ok: jax.Array  # bool: >= 30 points in ROI (lidar_segmentation.cpp:124)
     roi: jax.Array  # (N,) bool
-    labels: jax.Array  # (N,) int32 in {0,1,2}; 0 for non-ROI points
+    labels: jax.Array  # (N,) int8 in {0,1,2}; 0 for non-ROI points
+    # (int8 since round 2: 4x smaller D2H for the streaming path)
     ring_id: jax.Array  # (N,) int32; dims.rings = dropped at binning
     num_rings: jax.Array  # int32
     counts: jax.Array  # (dims.rings,)
     max_distance: jax.Array  # (dims.rings,)
     markers: jax.Array  # (361, 6): exists, x, y, z, red, bin
     overflow: jax.Array  # int32: points dropped by ring-capacity
-    star_overflow: jax.Array  # int32: points dropped by star-beam capacity
+    star_overflow: jax.Array  # int32: always 0 since round 2 (the star
+    # path keeps every point per beam; field retained for schema stability)
     probably_road: jax.Array  # (N,) bool: ring #10 membership
 
 
