@@ -51,6 +51,28 @@ def test_sp_matches_single_device(scene, mesh8):
     assert np.mean(same) >= 0.97, f"{scene}: marker rows {np.mean(same):.3f}"
 
 
+def test_sp_flood_pallas_wiring_matches_xla(mesh8):
+    # The TPU SP path routes the blocked/labeled quantifiers through the
+    # Pallas flood kernels (psum between them); exercise that exact wiring
+    # on the CPU mesh via interpret mode and pin it to the XLA-cube path.
+    from urban_road_filter_tpu.parallel import azimuth_parallel as ap
+
+    cfg = FilterConfig()
+    scan = alpha_sorted(make_scan(SCENES["two_curbs"](), n_rings=16,
+                                  n_azimuth=384, seed=21))
+    pts = jax.numpy.asarray(pad_scan(scan, DIMS.max_points))
+    want = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
+    ap._FORCE_FLOOD_PALLAS_INTERPRET = True
+    try:
+        got = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
+    finally:
+        ap._FORCE_FLOOD_PALLAS_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(got["labels"]),
+                                  np.asarray(want["labels"]))
+    np.testing.assert_array_equal(np.asarray(got["markers"]),
+                                  np.asarray(want["markers"]))
+
+
 def test_sp_overflow_counter_surfaced(mesh8):
     # All points crammed into one wedge must overflow per-wedge capacity and
     # be COUNTED, not silently dropped (ADVICE r1; PARITY.md item 7).

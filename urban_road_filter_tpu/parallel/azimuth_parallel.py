@@ -402,9 +402,17 @@ def _z_zero_halo(layout, cfg, frame):
     return layout._replace(label=new_label)
 
 
+# Test hook: run the Pallas flood kernels in interpret mode on CPU so the
+# sharded wiring below is exercised without TPU hardware (the backend gate
+# alone would route CPU runs to the XLA cubes).
+_FORCE_FLOOD_PALLAS_INTERPRET = False
+
+
 def _blind_spots_sharded(layout, max_dist, num_rings, cfg):
-    """blind_spots with blocked bits / quadrant extremes psum-combined;
-    reuses the dense single-device kernels from ops.blind_spots."""
+    """blind_spots with blocked bits / quadrant extremes psum-combined.
+    On TPU the local blocked/labeled quantifiers run as the window-skipping
+    Pallas kernels (ops/flood_scan.py, same ones as the single-device
+    path); elsewhere the dense XLA cubes from ops.blind_spots."""
     from urban_road_filter_tpu.ops import blind_spots as bs
 
     alpha, label, counts = layout.alpha, layout.label, layout.counts
@@ -433,20 +441,45 @@ def _blind_spots_sharded(layout, max_dist, num_rings, cfg):
              jnp.where(mn4 < 360, mn4, F32(360)))
         gate = bs._gate(i_f, q, int(cfg.x_direction))
 
-    curb = slot_valid & (label == LABEL_CURB)
-    a_ok = slot_valid & jnp.isfinite(alpha) & (alpha >= 0) & (alpha <= F32(360))
     w = bs.window_widths(max_dist, cfg.beam_zone)
+    rings = alpha.shape[0]
+    ring_iota = jnp.arange(rings, dtype=I32)
 
-    def sweep(direction):
-        active, lo, hi = bs.sweep_bounds(w, cfg.beam_zone, direction)
-        blocked_local = bs.blocked_bits(alpha, curb, lo, hi).astype(I32)
-        blocked = jax.lax.psum(blocked_local, AX) > 0  # << the one collective
+    def reach_of(blocked, direction):
+        active, _, _ = bs.sweep_bounds(w, cfg.beam_zone, direction)
         ok = active & ~gate
-        not_blocked = (~(blocked & ring_active)).astype(I32)
-        reach = (jnp.cumprod(not_blocked, axis=0) > 0) & ok[None, :] & ring_active
-        return bs.labeled_mask(alpha, a_ok, reach, lo, hi)
+        first_blocked = jnp.min(
+            jnp.where(blocked & ring_active, ring_iota[:, None], I32(rings)),
+            axis=0)
+        return ((ring_iota[:, None] < first_blocked[None, :])
+                & ok[None, :] & ring_active)
 
-    road = sweep(+1) | sweep(-1)
+    interp = _FORCE_FLOOD_PALLAS_INTERPRET
+    if interp or jax.default_backend() in ("tpu", "axon"):
+        from urban_road_filter_tpu.ops.flood_scan import (
+            blocked_pallas, labeled_pallas)
+
+        bf_local, bb_local = blocked_pallas(layout, w, cfg.beam_zone,
+                                            interpret=interp)
+        # The one per-sweep collective: any wedge's curb blocks the window.
+        blocked_f = jax.lax.psum(bf_local.astype(I32), AX) > 0
+        blocked_b = jax.lax.psum(bb_local.astype(I32), AX) > 0
+        road = labeled_pallas(layout, reach_of(blocked_f, +1),
+                              reach_of(blocked_b, -1), w, cfg.beam_zone,
+                              interpret=interp)
+    else:
+        curb = slot_valid & (label == LABEL_CURB)
+        a_ok = (slot_valid & jnp.isfinite(alpha) & (alpha >= 0)
+                & (alpha <= F32(360)))
+
+        def sweep(direction):
+            active, lo, hi = bs.sweep_bounds(w, cfg.beam_zone, direction)
+            blocked_local = bs.blocked_bits(alpha, curb, lo, hi).astype(I32)
+            blocked = jax.lax.psum(blocked_local, AX) > 0
+            return bs.labeled_mask(alpha, a_ok, reach_of(blocked, direction),
+                                   lo, hi)
+
+        road = sweep(+1) | sweep(-1)
     new_label = jnp.where(road & (label != LABEL_CURB), LABEL_ROAD, label)
     return layout._replace(label=new_label)
 
