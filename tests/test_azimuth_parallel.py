@@ -52,9 +52,14 @@ def test_sp_matches_single_device(scene, mesh8):
 
 
 def test_sp_flood_pallas_wiring_matches_xla(mesh8):
-    # The TPU SP path routes the blocked/labeled quantifiers through the
-    # Pallas flood kernels (psum between them); exercise that exact wiring
-    # on the CPU mesh via interpret mode and pin it to the XLA-cube path.
+    # The TPU SP path routes the blocked/labeled quantifiers AND the
+    # two-pass marker reduction through the Pallas kernels; exercise that
+    # exact wiring on the CPU mesh via interpret mode against the XLA-cube
+    # path.  The two flag settings compile DIFFERENT XLA graphs, and on
+    # CPU the arcsin in azimuth_2d can differ by 1-2 ulp between graphs
+    # (SIMD vs scalar tails), flipping points sitting exactly on a 1-deg
+    # bin boundary — so markers get the same near-boundary tolerance as
+    # test_sp_matches_single_device, not bit-equality.
     from urban_road_filter_tpu.parallel import azimuth_parallel as ap
 
     cfg = FilterConfig()
@@ -67,10 +72,12 @@ def test_sp_flood_pallas_wiring_matches_xla(mesh8):
         got = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
     finally:
         ap._FORCE_FLOOD_PALLAS_INTERPRET = False
-    np.testing.assert_array_equal(np.asarray(got["labels"]),
-                                  np.asarray(want["labels"]))
-    np.testing.assert_array_equal(np.asarray(got["markers"]),
-                                  np.asarray(want["markers"]))
+    lab = np.mean(np.asarray(got["labels"]) == np.asarray(want["labels"]))
+    assert lab >= 0.999, f"SP pallas-vs-xla labels {lab:.5f}"
+    mw = np.asarray(want["markers"])
+    mg = np.asarray(got["markers"])
+    same = np.all(np.abs(mg - mw) < 1e-4, axis=1)
+    assert np.mean(same) >= 0.97, f"marker rows differ: {np.mean(same):.3f}"
 
 
 def test_sp_overflow_counter_surfaced(mesh8):

@@ -45,9 +45,9 @@ _BIG = 3.0e38  # sentinel > any g or d (g <= R*P < 2^24: f32-exact); plain
 # pallas_call rejects.
 
 
-def _marker_kernel(counts_ref, nring_ref, x_ref, y_ref, z_ref, alpha_ref,
-                   label_ref, out_ref, state, *, p: int, blocks_per_ring: int,
-                   blk_w: int):
+def _marker_kernel(counts_ref, nring_ref, goff_ref, finit_ref, x_ref, y_ref,
+                   z_ref, alpha_ref, label_ref, out_ref, state, *,
+                   blocks_per_ring: int, blk_w: int):
     step = pl.program_id(0)
     ring = step // blocks_per_ring
     blk = step % blocks_per_ring
@@ -55,7 +55,11 @@ def _marker_kernel(counts_ref, nring_ref, x_ref, y_ref, z_ref, alpha_ref,
     @pl.when(step == 0)
     def _():
         state[...] = jnp.zeros((_BPAD, 8), F32)
-        state[:, 0:1] = jnp.full((_BPAD, 1), _BIG, F32)  # f: none yet
+        # f starts from the caller-provided floor (BIG = "none yet" on the
+        # single-device path; the GLOBAL per-bin f on the SP second pass —
+        # the global min is <= any local contribution, so the running min
+        # then equals it throughout).
+        state[:, 0:1] = finit_ref[:, 0:1]
 
     slot0 = blk * blk_w
     slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)  # (1, W)
@@ -75,7 +79,9 @@ def _marker_kernel(counts_ref, nring_ref, x_ref, y_ref, z_ref, alpha_ref,
     y = y_ref[0]
     z = z_ref[0]
     label = label_ref[0]
-    g = (ring * p + slot).astype(F32)  # scan position (< 2^24: exact)
+    # Scan position: per-ring offset + local slot (single-device: ring * P;
+    # SP: ring * P_glob + wedge prefix — all < 2^24: f32-exact).
+    g = (goff_ref[0, ring] + slot).astype(F32)
     d = jnp.sqrt(x * x + y * y)
     road = label == F32(LABEL_ROAD)
     nonroad = (~road) & a_ok
@@ -129,9 +135,16 @@ def _marker_kernel(counts_ref, nring_ref, x_ref, y_ref, z_ref, alpha_ref,
         out_ref[...] = state[...]
 
 
-def marker_points_pallas(layout: RingLayout, num_rings, interpret: bool = False):
-    """Dense (361, 6) marker table [exists, x, y, z, red, bin] from the
-    azimuth-sorted layout — matches ops.markers.marker_points exactly."""
+def marker_state_pallas(layout: RingLayout, num_rings, g_offset=None,
+                        f_init=None, interpret: bool = False):
+    """Raw per-bin marker state (BPAD, 8) f32 [f, maxd, gstar, x, y, z, -, -]
+    from the azimuth-sorted layout.
+
+    g_offset: (R,) i32 scan-position offset per ring (default ring * P; the
+    SP path passes ring * P_glob + wedge prefix so g matches the global
+    scan order).  f_init: (361,) f32 initial per-bin f floor (default BIG;
+    the SP second pass passes the psum-combined global f so candidates are
+    gated on it — see parallel/azimuth_parallel._markers_sharded)."""
     r, p = layout.alpha.shape
     blk_w = min(1024, p)  # slots per grid step
     assert p % blk_w == 0, (r, p)
@@ -139,12 +152,18 @@ def marker_points_pallas(layout: RingLayout, num_rings, interpret: bool = False)
 
     counts = layout.counts.astype(I32).reshape(1, r)
     nring = jnp.full((1, 1), num_rings, I32)
+    if g_offset is None:
+        g_offset = jnp.arange(r, dtype=I32) * I32(p)
+    goff = g_offset.astype(I32).reshape(1, r)
+    finit = jnp.full((_BPAD, 8), _BIG, F32)
+    if f_init is not None:
+        finit = finit.at[:N_BINS, 0].set(f_init.astype(F32))
 
     def blk3(a):  # (R, P) -> (R*blocks, 1, W) block rows
         return a.reshape(r * blocks_per_ring, 1, blk_w)
 
-    out = pl.pallas_call(
-        functools.partial(_marker_kernel, p=p,
+    return pl.pallas_call(
+        functools.partial(_marker_kernel,
                           blocks_per_ring=blocks_per_ring, blk_w=blk_w),
         grid=(r * blocks_per_ring,),
         in_specs=[
@@ -152,14 +171,22 @@ def marker_points_pallas(layout: RingLayout, num_rings, interpret: bool = False)
                          memory_space=pltpu.SMEM),  # counts
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # num_rings
+            pl.BlockSpec((1, r), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # g offsets
+            pl.BlockSpec((_BPAD, 8), lambda i: (0, 0)),  # f init
         ] + [pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0))] * 5,
         out_specs=pl.BlockSpec((_BPAD, 8), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((_BPAD, 8), F32),
         scratch_shapes=[pltpu.VMEM((_BPAD, 8), F32)],
         interpret=interpret,
-    )(counts, nring, blk3(layout.x), blk3(layout.y), blk3(layout.z),
-      blk3(layout.alpha), blk3(layout.label.astype(F32)))
+    )(counts, nring, goff, finit, blk3(layout.x), blk3(layout.y),
+      blk3(layout.z), blk3(layout.alpha), blk3(layout.label.astype(F32)))
 
+
+def marker_points_pallas(layout: RingLayout, num_rings, interpret: bool = False):
+    """Dense (361, 6) marker table [exists, x, y, z, red, bin] from the
+    azimuth-sorted layout — matches ops.markers.marker_points exactly."""
+    out = marker_state_pallas(layout, num_rings, interpret=interpret)
     f_g = out[:N_BINS, 0]
     maxd = out[:N_BINS, 1]
     px, py, pz = out[:N_BINS, 3], out[:N_BINS, 4], out[:N_BINS, 5]

@@ -501,13 +501,49 @@ def _markers_sharded(layout, num_rings, me):
     g = (jnp.arange(r, dtype=I32)[:, None] * p_glob
          + prefix[:, None] + slot).reshape(-1)
 
+    bins = jnp.arange(N_BINS, dtype=I32)
+    interp = _FORCE_FLOOD_PALLAS_INTERPRET
+    if interp or jax.default_backend() in ("tpu", "axon"):
+        # Two passes of the streaming marker kernel (ops/marker_scan.py),
+        # with the global scan-position offsets: pass 1 yields each
+        # wedge's per-bin first-non-road f; after the pmin, pass 2 runs
+        # with the GLOBAL f as the candidate gate, so the local
+        # (maxd, gstar, coords) are exactly the wedge's share of the
+        # global reduction.
+        from urban_road_filter_tpu.ops.marker_scan import (
+            _BIG as _KBIG, marker_state_pallas)
+
+        goff = jnp.arange(r, dtype=I32) * p_glob.astype(I32) + prefix.astype(I32)
+        st1 = marker_state_pallas(layout, num_rings, g_offset=goff,
+                                  interpret=interp)
+        f = jax.lax.pmin(st1[:N_BINS, 0], AX)
+        st2 = marker_state_pallas(layout, num_rings, g_offset=goff,
+                                  f_init=f, interpret=interp)
+        maxd_loc = st2[:N_BINS, 1]
+        maxd = jax.lax.pmax(maxd_loc, AX)
+        at_max = (maxd_loc == maxd) & (maxd > 0)
+        gstar = jax.lax.pmin(
+            jnp.where(at_max, st2[:N_BINS, 2], F32(_KBIG)), AX)
+        mine = at_max & (st2[:N_BINS, 2] == gstar)
+
+        def pick(col):
+            return jax.lax.psum(jnp.where(mine, st2[:N_BINS, col], F32(0)),
+                                AX)
+
+        exists = maxd > 0
+        px, py, pz = pick(3), pick(4), pick(5)
+        # The kernel's "no non-road yet" sentinel is marker_scan._BIG
+        # (3e38), NOT this module's int32-max _BIG.
+        red = (f < F32(_KBIG)).astype(F32)
+        return jnp.stack([exists.astype(F32), px, py, pz, red,
+                          bins.astype(F32)], axis=1)
+
     a_ok = valid & jnp.isfinite(alpha) & (alpha >= 0) & (alpha <= F32(360))
     bin_of = jnp.where(a_ok, jnp.floor(alpha).astype(I32), I32(-1))
     g2 = g.reshape(r, p)
     d = layout.d2
-    road = label == LABEL_ROAD
-    bins = jnp.arange(N_BINS, dtype=I32)
     in_bin = bin_of[:, :, None] == bins[None, None, :]  # (R, P, B), fused
+    road = label == LABEL_ROAD
 
     nonroad = (~road & a_ok)[:, :, None] & in_bin
     f_loc = jnp.min(jnp.where(nonroad, g2[:, :, None], _BIG), axis=(0, 1))
