@@ -261,6 +261,19 @@ class TestReplay:
         assert [o.seq for o in got] == [0, 2]  # errored scan consumed a seq
         assert "stage:" in m.last_error
 
+    def test_trailing_malformed_scans_charged_to_checkpoint(self, tmp_path):
+        # ADVICE r2: malformed scans at the END of a stream are consumed
+        # from the source; the checkpoint seq must count them, or a resumed
+        # run would re-consume and re-error those positions.
+        ck = str(tmp_path / "ck.json")
+        good = make_scan(SCENES["flat"](), n_rings=16, n_azimuth=256, seed=0)
+        bad = np.zeros((100,), np.float32)
+        h = ReplayHarness(dims=DIMS, checkpoint_path=ck)
+        m = h.run(iter([good, bad, bad]))
+        assert m.summary()["scans"] == 1 and m.summary()["errors"] == 2
+        state = json.load(open(ck))
+        assert state["seq"] == 3  # 1 processed + 2 trailing errored
+
     def test_viz_renders(self, tmp_path):
         pytest.importorskip("matplotlib")
         from urban_road_filter_tpu.viz import save_scan_png

@@ -47,6 +47,7 @@ PARAM_RANGES: Mapping[str, tuple[float, float]] = {
     "dmin_param": (3, 30),
     "poly_s_param": (0.0, 1.0),
     "poly_z_manual": (-5.0, 5.0),
+    "probably_road_ring": (0, 1024),
 }
 
 
@@ -102,6 +103,12 @@ class FilterConfig:
     poly_s_param: float = 0.7
     poly_z_manual: float = -1.5
     poly_z_avg_allow: bool = True
+
+    # Which ring the road_probably topic dumps verbatim.  The reference
+    # hardcodes ring 10 (lidar_segmentation.cpp:605-608); this knob is our
+    # extension (SURVEY.md section 7 non-goals) — no cfg/LidarFilters.cfg
+    # counterpart.
+    probably_road_ring: int = 10
 
     def __post_init__(self) -> None:
         for name, (lo, hi) in PARAM_RANGES.items():
@@ -201,6 +208,12 @@ class PipelineDims:
         if (self.max_points <= 0 or self.rings <= 0
                 or self.ring_capacity <= 0 or self.beam_capacity <= 0):
             raise ValueError("dims must be positive")
+        if self.ring_capacity % 128 != 0:
+            # TPU lane alignment: the streaming Pallas kernels (flood/marker
+            # scans) block the slot axis in power-of-two lane multiples, and
+            # the azimuth-sharded path divides it across devices.
+            raise ValueError(
+                f"ring_capacity={self.ring_capacity} must be a multiple of 128")
 
     @classmethod
     def for_sensor(cls, kind: str) -> "PipelineDims":

@@ -120,7 +120,10 @@ class ReplayHarness:
         Returns (raw, device_scan, n_skipped); n_skipped errored scans were
         consumed from the source before this one (their stream positions are
         charged to ``_seq`` when this entry is processed or dropped —
-        staging overlaps the in-flight scan, so ``_seq`` cannot move here)."""
+        staging overlaps the in-flight scan, so ``_seq`` cannot move here).
+        At stream end returns (None, None, n_skipped) so trailing malformed
+        scans still get charged to ``_seq`` (checkpoint correctness: a
+        resumed run must not re-consume and re-error them)."""
         import jax
 
         from urban_road_filter_tpu.pipeline import pad_scan
@@ -129,7 +132,7 @@ class ReplayHarness:
         while True:
             raw = next(it, None)
             if raw is None:
-                return None
+                return (None, None, skipped)
             try:
                 return (raw, jax.device_put(jax.numpy.asarray(
                     pad_scan(raw, self.dims.max_points))), skipped)
@@ -160,10 +163,10 @@ class ReplayHarness:
         next_deadline = time.perf_counter()
 
         # Double buffering: device_put scan t+1 while scan t computes.
-        pending = self._stage(it)  # (host_scan, device_scan)
+        pending = self._stage(it)  # (host_scan, device_scan, n_skipped)
 
         done = 0
-        while pending is not None and (max_scans is None or done < max_scans):
+        while pending[0] is not None and (max_scans is None or done < max_scans):
             raw, dev, skipped = pending
             self._seq += skipped  # errored scans consumed earlier positions
             t0 = time.perf_counter()
@@ -203,14 +206,20 @@ class ReplayHarness:
                     # Behind schedule: drop staged scans (queue depth 1).
                     n_skip = int(lag / period)
                     for _ in range(n_skip):
-                        if pending is None:
+                        if pending[0] is None:
                             break
                         self._seq += pending[2] + 1  # dropped scan's position
                         pending = self._stage(it)
                         self.metrics.record_drop()
                         next_deadline += period
+                    self._save_checkpoint()  # drops moved _seq: persist them
                 elif lag < 0:
                     time.sleep(-lag)
+        if pending[0] is None and pending[2]:
+            # Trailing malformed scans were consumed from the stream; charge
+            # their positions so a resume does not re-consume them.
+            self._seq += pending[2]
+            self._save_checkpoint()
         return self.metrics
 
     def _postprocess(self, raw, out, latency_ms: float) -> ScanOutputs:

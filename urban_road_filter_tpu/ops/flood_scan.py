@@ -26,6 +26,7 @@ Reference: blind_spots.cpp:7-284.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -139,8 +140,7 @@ def blocked_pallas(layout, w, bz: float, interpret: bool = False):
     ring k inside the sweep window of start i (ops/blind_spots.py
     `blocked_bits` for both sweep directions in one pass)."""
     r, p = layout.alpha.shape
-    blk_w = min(1024, p)
-    assert p % blk_w == 0, (r, p)
+    blk_w = math.gcd(p, 1024)  # largest power-of-two divisor of p <= 1024
     blocks_per_ring = p // blk_w
 
     counts = layout.counts.astype(I32).reshape(1, r)
@@ -252,8 +252,7 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz: float,
     reach_f/reach_b: (R, 362) bool (already gated on active & ~gate &
     ring_active by the caller)."""
     r, p = layout.alpha.shape
-    blk_w = min(1024, p)
-    assert p % blk_w == 0, (r, p)
+    blk_w = math.gcd(p, 1024)  # largest power-of-two divisor of p <= 1024
     blocks_per_ring = p // blk_w
 
     counts = layout.counts.astype(I32).reshape(1, r)

@@ -24,6 +24,7 @@ Bit-equality with the XLA path is pinned by tests/test_pallas_interpret.py.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -146,8 +147,8 @@ def marker_state_pallas(layout: RingLayout, num_rings, g_offset=None,
     the SP second pass passes the psum-combined global f so candidates are
     gated on it — see parallel/azimuth_parallel._markers_sharded)."""
     r, p = layout.alpha.shape
-    blk_w = min(1024, p)  # slots per grid step
-    assert p % blk_w == 0, (r, p)
+    blk_w = math.gcd(p, 1024)  # slots per grid step: largest power-of-two
+    # divisor of p <= 1024 (PipelineDims guarantees p % 128 == 0, so >= 128)
     blocks_per_ring = p // blk_w
 
     counts = layout.counts.astype(I32).reshape(1, r)

@@ -88,8 +88,9 @@ def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
     fi = jnp.arctan2(y, x)
     fi = jnp.where(fi < 0, fi + F32(2.0 * math.pi), fi)
     # f == rep IS reachable (fi a few ulps below 2pi rounds to 360.0 after
-    # the f32 multiply); the reference routes it to beam 0 via its
-    # beamp[rep] sentinel pointer (star_shaped_search.cpp:20,157).
+    # the f32 multiply); the reference's beamp[360] stays null and it would
+    # crash on such a point (PARITY.md item 5a) — routing f==360 to beam 0
+    # (the same sector, 0 == 360 degrees) is our fix of the evident intent.
     f = (fi * F32(STAR_KFI)).astype(I32) % I32(STAR_REP)
 
     keep = valid

@@ -35,7 +35,7 @@ I32 = jnp.int32
 
 _LANES = 128
 _ROWS = 64  # 8192 points per grid step (fewer steps amortize the per-step
-# fixed cost; the row-carry matrices grow to (16, 16), still tiny)
+# fixed cost; the (_ROWS, _ROWS) row-carry matrices stay tiny)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -94,16 +94,16 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
     kj = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 1)
     hr_j = jnp.broadcast_to(has_reset.reshape(1, _ROWS), (_ROWS, _ROWS))
     lrr = jnp.max(jnp.where((hr_j != 0) & (kj < ki), kj, -1), axis=1,
-                  keepdims=True)  # (8, 1): last reset row before k
+                  keepdims=True)  # (_ROWS, 1): last reset row before k
     carry_sel = (kj < ki) & (kj >= lrr)
-    no_reset_before = (lrr == -1)  # (8, 1)
+    no_reset_before = (lrr == -1)  # (_ROWS, 1)
 
     def add_carries(rs, row_open, carry_row):
         """Add row- and block-level carries to a row-scanned value."""
         rowtot = rs[:, _LANES - 1:_LANES]  # (_ROWS, 1) value at lane 127
         rt_j = jnp.broadcast_to(rowtot.reshape(1, _ROWS), (_ROWS, _ROWS))
         carry_in = jnp.sum(jnp.where(carry_sel, rt_j, F32(0)), axis=1,
-                           keepdims=True)  # (8, 1)
+                           keepdims=True)  # (_ROWS, 1)
         block_carry = carry_row[0:1, 0:1]  # (1, 1), all lanes equal
         carry_in = carry_in + jnp.where(no_reset_before, block_carry, F32(0))
         out = rs + jnp.where(row_open, carry_in, F32(0))
@@ -154,7 +154,7 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
             gid = lo + jax.lax.broadcasted_iota(I32, (1, 1, _LANES), 2)
             hp_acc[:, lo:lo + _LANES] += jnp.sum(
                 jnp.where(fk[:, :, None] == gid, ftv[:, :, None], F32(0)),
-                axis=1)  # (8, LANES)
+                axis=1)  # (_ROWS, LANES)
 
     @pl.when(step == n_steps - 1)
     def _():

@@ -559,8 +559,8 @@ def run_oracle(points: np.ndarray, cfg: Optional[FilterConfig] = None) -> Oracle
         curb_ids.append(ring_ids[k][ring_l[k] == LABEL_CURB])
     road_ids = np.concatenate(road_ids) if road_ids else np.zeros(0, np.int64)
     curb_ids = np.concatenate(curb_ids) if curb_ids else np.zeros(0, np.int64)
-    probably = (ring_ids[PROBABLY_ROAD_RING]
-                if index > PROBABLY_ROAD_RING else np.zeros(0, np.int64))
+    prr = int(getattr(cfg, "probably_road_ring", PROBABLY_ROAD_RING))
+    probably = (ring_ids[prr] if index > prr else np.zeros(0, np.int64))
 
     return OracleResult(
         ok=True, roi_mask=keep, labels=labels, ring_of_point=ring_of_point,

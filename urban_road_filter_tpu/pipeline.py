@@ -29,8 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from urban_road_filter_tpu.config import FilterConfig, PipelineDims
-from urban_road_filter_tpu.constants import (
-    LABEL_CURB, MIN_POINTS, PROBABLY_ROAD_RING)
+from urban_road_filter_tpu.constants import LABEL_CURB, MIN_POINTS
 from urban_road_filter_tpu.ops import geometry
 from urban_road_filter_tpu.ops.blind_spots import blind_spots
 from urban_road_filter_tpu.ops.markers import marker_points
@@ -56,7 +55,7 @@ class ScanResult(NamedTuple):
     overflow: jax.Array  # int32: points dropped by ring-capacity
     star_overflow: jax.Array  # int32: always 0 since round 2 (the star
     # path keeps every point per beam; field retained for schema stability)
-    probably_road: jax.Array  # (N,) bool: ring #10 membership
+    probably_road: jax.Array  # (N,) bool: cfg.probably_road_ring membership
 
 
 def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
@@ -147,7 +146,7 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
         num_rings=num_rings, counts=layout.counts, max_distance=max_dist,
         markers=markers, overflow=layout.overflow,
         star_overflow=star_overflow,
-        probably_road=(ring_id == PROBABLY_ROAD_RING) & gate)
+        probably_road=(ring_id == int(cfg.probably_road_ring)) & gate)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
