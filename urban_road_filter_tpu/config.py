@@ -18,12 +18,15 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Mapping
+import math
+from typing import Any, Mapping, NamedTuple
 
 __all__ = [
     "FilterConfig",
     "PipelineDims",
     "PARAM_RANGES",
+    "StaticConfig",
+    "DynConfig",
 ]
 
 # Valid ranges, straight from cfg/LidarFilters.cfg (min, max).
@@ -183,6 +186,128 @@ class FilterConfig:
         import hashlib
 
         return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    # ---- derived trace constants (host float64, like the C++ double
+    # intermediates; see ops/xzero.py / ops/star.py for the exact forms) ----
+    @property
+    def cos_x(self):
+        """cos(angleFilter1): x-zero threshold moved to cosine space."""
+        import numpy as np
+
+        return np.float32(math.cos(math.radians(float(np.float32(self.cylinder_deg_x)))))
+
+    @property
+    def cos_z(self):
+        """cos(angleFilter2): z-zero threshold in cosine space."""
+        import numpy as np
+
+        return np.float32(math.cos(math.radians(float(np.float32(self.cylinder_deg_z)))))
+
+    @property
+    def slope_param(self):
+        """f32(angleFilter3_f32 * (M_PI/180)) (star_shaped_search.cpp:160)."""
+        import numpy as np
+
+        return np.float32(float(np.float32(self.curb_slope_deg)) * (math.pi / 180.0))
+
+    # ---- static/dynamic split (the no-retrace hot-swap machinery) ----
+    def split(self) -> tuple["StaticConfig", "DynConfig"]:
+        """(static, dynamic) halves for the jitted pipeline.
+
+        `static` is the hashable jit cache key: method toggles and the
+        structure-determining ints.  `dynamic` is a pytree of f32/i32
+        scalars fed as device operands — replacing any of them between
+        scans hits the jit cache (no re-trace), the functional equivalent
+        of the reference's instant `paramsCallback` (main.cpp:4-34).
+        Host-only fields (topic/frame names, the poly_* marker post-
+        processing knobs) are in neither half: they never reach the trace.
+        """
+        import numpy as np
+
+        st = StaticConfig(
+            x_zero_method=bool(self.x_zero_method),
+            z_zero_method=bool(self.z_zero_method),
+            star_shaped_method=bool(self.star_shaped_method),
+            blind_spots=bool(self.blind_spots),
+            x_direction=int(self.x_direction),
+            curb_points=int(self.curb_points),
+            starbeam_filter=bool(self.starbeam_filter),
+            probably_road_ring=int(self.probably_road_ring),
+        )
+        dyn = DynConfig(
+            interval=np.float32(self.interval),
+            curb_height=np.float32(self.curb_height),
+            beam_zone=np.float32(self.beam_zone),
+            min_x=np.float32(self.min_x), max_x=np.float32(self.max_x),
+            min_y=np.float32(self.min_y), max_y=np.float32(self.max_y),
+            min_z=np.float32(self.min_z), max_z=np.float32(self.max_z),
+            kdev_param=np.float32(self.kdev_param),
+            kdist_param=np.float32(self.kdist_param),
+            dmin_param=np.int32(self.dmin_param),
+            cos_x=self.cos_x, cos_z=self.cos_z,
+            slope_param=self.slope_param,
+        )
+        return st, dyn
+
+
+class DynConfig(NamedTuple):
+    """Dynamic (no-retrace) pipeline parameters, a pytree of scalars.
+
+    Includes the host-precomputed derived constants (cos_x/cos_z/
+    slope_param) so their float64 round-trip matches the reference's
+    double intermediates bit-for-bit regardless of jit."""
+
+    interval: Any
+    curb_height: Any
+    beam_zone: Any
+    min_x: Any
+    max_x: Any
+    min_y: Any
+    max_y: Any
+    min_z: Any
+    max_z: Any
+    kdev_param: Any
+    kdist_param: Any
+    dmin_param: Any
+    cos_x: Any
+    cos_z: Any
+    slope_param: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticConfig:
+    """Trace-static config half: the jit cache key.  Changing any of these
+    re-traces (new control flow / shapes); see FilterConfig.split."""
+
+    x_zero_method: bool
+    z_zero_method: bool
+    star_shaped_method: bool
+    blind_spots: bool
+    x_direction: int
+    curb_points: int
+    starbeam_filter: bool
+    probably_road_ring: int
+
+    def merge(self, dyn: DynConfig) -> "RunConfig":
+        return RunConfig(self, dyn)
+
+
+class RunConfig:
+    """Config view inside a trace: static fields are Python values, dynamic
+    fields may be tracers.  Duck-types FilterConfig for every field the
+    device ops read (ops annotate FilterConfig; either works)."""
+
+    __slots__ = ("_st", "_dyn")
+
+    def __init__(self, st: StaticConfig, dyn: DynConfig):
+        object.__setattr__(self, "_st", st)
+        object.__setattr__(self, "_dyn", dyn)
+
+    def __getattr__(self, name: str):
+        st = object.__getattribute__(self, "_st")
+        if hasattr(st, name):
+            return getattr(st, name)
+        return getattr(object.__getattribute__(self, "_dyn"), name)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,7 +82,7 @@ def window_widths(max_dist: jax.Array, beam_zone) -> jax.Array:
     """Equal-arc-length window width per ring, degrees
     (blind_spots.cpp:65,142,251): w[0] = beamZone; w[k] = arcDistance /
     (maxDist_k * pi / 180); inf where a ring is empty (harmless: no points)."""
-    bz = F32(beam_zone)
+    bz = jnp.asarray(beam_zone, F32)  # may be a dynamic operand
     deg_len = max_dist * F32(math.pi) / F32(180)
     arc_distance = deg_len[0] * bz
     return (arc_distance / deg_len).at[0].set(bz)
@@ -91,7 +91,7 @@ def window_widths(max_dist: jax.Array, beam_zone) -> jax.Array:
 def sweep_bounds(w: jax.Array, beam_zone, direction: int):
     """(active, lo, hi) for one sweep; lo/hi are the ACTUAL per-(ring, start)
     inclusive window bounds, exact-equality overrides applied."""
-    bz = F32(beam_zone)
+    bz = jnp.asarray(beam_zone, F32)  # may be a dynamic operand
     rings = w.shape[0]
     i_f = jnp.arange(_NI, dtype=F32)
     k_ge1 = jnp.arange(rings)[:, None] >= 1

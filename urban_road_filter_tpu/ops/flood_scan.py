@@ -50,17 +50,8 @@ def _win_starts(win: int):
         I32, (_WIN, 1), 0).astype(F32)
 
 
-def _specials(bz: float):
-    """Static special-start angles, f32-exact like sweep_bounds:
-    forward `F32(360) - bz`, backward `bz`."""
-    import numpy as np
-
-    return (float(np.float32(360.0) - np.float32(bz)),
-            float(np.float32(bz)))
-
-
-def _blocked_kernel(counts_ref, w_ref, alpha_ref, label_ref, out_ref, state,
-                    *, blocks_per_ring: int, blk_w: int, bz: float):
+def _blocked_kernel(bz_ref, counts_ref, w_ref, alpha_ref, label_ref,
+                    out_ref, state, *, blocks_per_ring: int, blk_w: int):
     step = pl.program_id(0)
     ring = step // blocks_per_ring
     blk = step % blocks_per_ring
@@ -87,10 +78,13 @@ def _blocked_kernel(counts_ref, w_ref, alpha_ref, label_ref, out_ref, state,
 
     w = w_ref[0, ring]  # window width, degrees (f32; inf for empty rings)
     ring_ge1 = ring >= 1
-    # Exact-equality specials exist only when 360-bz / bz are integral
-    # (starts are integers); their window index is static.  f32 arithmetic
-    # to match sweep_bounds' `F32(360) - bz` exactly.
-    sp_f, sp_b = _specials(bz)
+    # Exact-equality specials only bind when 360-bz / bz are integral
+    # (starts are integers) — the `i_col == sp` compare below encodes that
+    # for free.  bz rides SMEM (dynamic operand, hot-swap without
+    # re-trace); `F32(360) - bz` matches sweep_bounds bit-for-bit.
+    bz = bz_ref[0, 0]
+    sp_f = F32(360) - bz
+    sp_b = bz
 
     for win in range(_NWIN):
         s0 = F32(win * _WIN)
@@ -98,13 +92,14 @@ def _blocked_kernel(counts_ref, w_ref, alpha_ref, label_ref, out_ref, state,
         i_col = _win_starts(win)
 
         # Forward sweep: window [i, i+w] (hi -> 360 at the special start).
-        act_f = (s0 <= amx) & (s1 + w >= amn)
-        if sp_f == int(sp_f) and win * _WIN <= int(sp_f) < (win + 1) * _WIN:
-            act_f |= F32(sp_f) <= amx  # special hi=360 covers any amn
+        # The special's hi=360 covers any amn; activating on a
+        # non-integral sp_f is harmless (no i_col can equal it).
+        act_f = ((s0 <= amx) & (s1 + w >= amn)) | (
+            (s0 <= sp_f) & (sp_f <= s1) & (sp_f <= amx))
 
         @pl.when(act_f)
         def _(win=win, i_col=i_col):
-            hi = jnp.where((i_col == F32(sp_f)) & ring_ge1, F32(360),
+            hi = jnp.where((i_col == sp_f) & ring_ge1, F32(360),
                            i_col + w)
             in_win = (alpha >= i_col) & (alpha <= hi) & curb  # (WIN, W)
             got = jnp.max(jnp.where(in_win, F32(1), F32(0)), axis=1,
@@ -113,13 +108,12 @@ def _blocked_kernel(counts_ref, w_ref, alpha_ref, label_ref, out_ref, state,
                 state[pl.ds(win * _WIN, _WIN), 0:1], got)
 
         # Backward sweep: window [i-w, i] (lo -> 0 at the special start).
-        act_b = (s1 >= amn) & (s0 <= amx + w)
-        if sp_b == int(sp_b) and win * _WIN <= int(sp_b) < (win + 1) * _WIN:
-            act_b |= F32(sp_b) >= amn  # special lo=0 covers any amx
+        act_b = ((s1 >= amn) & (s0 <= amx + w)) | (
+            (s0 <= sp_b) & (sp_b <= s1) & (sp_b >= amn))
 
         @pl.when(act_b)
         def _(win=win, i_col=i_col):
-            lo = jnp.where((i_col == F32(sp_b)) & ring_ge1, F32(0),
+            lo = jnp.where((i_col == sp_b) & ring_ge1, F32(0),
                            i_col - w)
             in_win = (alpha >= lo) & (alpha <= i_col) & curb
             got = jnp.max(jnp.where(in_win, F32(1), F32(0)), axis=1,
@@ -135,7 +129,7 @@ def _blocked_kernel(counts_ref, w_ref, alpha_ref, label_ref, out_ref, state,
         out_ref[0] = state[...].T
 
 
-def blocked_pallas(layout, w, bz: float, interpret: bool = False):
+def blocked_pallas(layout, w, bz, interpret: bool = False):
     """(blocked_fwd, blocked_bwd), each (R, 362) bool: any curb point of
     ring k inside the sweep window of start i (ops/blind_spots.py
     `blocked_bits` for both sweep directions in one pass)."""
@@ -145,15 +139,18 @@ def blocked_pallas(layout, w, bz: float, interpret: bool = False):
 
     counts = layout.counts.astype(I32).reshape(1, r)
     w2 = w.astype(F32).reshape(1, r)
+    bzs = jnp.asarray(bz, F32).reshape(1, 1)
 
     def blk3(a):
         return a.reshape(r * blocks_per_ring, 1, blk_w)
 
     out = pl.pallas_call(
         functools.partial(_blocked_kernel, blocks_per_ring=blocks_per_ring,
-                          blk_w=blk_w, bz=float(bz)),
+                          blk_w=blk_w),
         grid=(r * blocks_per_ring,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # beam zone
             pl.BlockSpec((1, r), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # counts
             pl.BlockSpec((1, r), lambda i: (0, 0),
@@ -166,13 +163,12 @@ def blocked_pallas(layout, w, bz: float, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((r, 8, _SPAD), F32),
         scratch_shapes=[pltpu.VMEM((_SPAD, 8), F32)],
         interpret=interpret,
-    )(counts, w2, blk3(layout.alpha), blk3(layout.label.astype(F32)))
+    )(bzs, counts, w2, blk3(layout.alpha), blk3(layout.label.astype(F32)))
     return out[:, 0, :362] > 0, out[:, 1, :362] > 0
 
 
-def _labeled_kernel(counts_ref, w_ref, reach_ref, alpha_ref,
-                    out_ref, *, blocks_per_ring: int, blk_w: int, bz: float,
-                    r: int):
+def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
+                    out_ref, *, blocks_per_ring: int, blk_w: int, r: int):
     step = pl.program_id(0)
     ring = step // blocks_per_ring
     blk = step % blocks_per_ring
@@ -189,7 +185,9 @@ def _labeled_kernel(counts_ref, w_ref, reach_ref, alpha_ref,
 
     w = w_ref[0, ring]
     ring_ge1 = ring >= 1
-    sp_f, sp_b = _specials(bz)
+    bz = bz_ref[0, 0]
+    sp_f = F32(360) - bz
+    sp_b = bz
 
     # This ring's reach columns (fwd at `ring`, bwd at `r + ring`) out of
     # the lane-resident (SPAD, 2R) table, extracted by masked lane-reduce
@@ -211,15 +209,15 @@ def _labeled_kernel(counts_ref, w_ref, reach_ref, alpha_ref,
 
         # Forward: slot labeled by start i iff reach_f[i] & alpha in
         # [i, i+w] -> i in [alpha-w, alpha]; window precheck vs the
-        # block's valid-azimuth range.
-        act_f = (s0 <= amx) & (s1 + w >= amn)
-        if sp_f == int(sp_f) and win * _WIN <= int(sp_f) < (win + 1) * _WIN:
-            act_f |= F32(sp_f) <= amx
+        # block's valid-azimuth range (value-based specials, see
+        # _blocked_kernel).
+        act_f = ((s0 <= amx) & (s1 + w >= amn)) | (
+            (s0 <= sp_f) & (sp_f <= s1) & (sp_f <= amx))
 
         @pl.when(act_f)
         def _(win=win, i_col=i_col):
             reach = reach_f[win * _WIN:(win + 1) * _WIN, 0:1]  # (WIN, 1)
-            hi = jnp.where((i_col == F32(sp_f)) & ring_ge1, F32(360),
+            hi = jnp.where((i_col == sp_f) & ring_ge1, F32(360),
                            i_col + w)
             cond = (reach > 0) & (alpha >= i_col) & (alpha <= hi)
             got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
@@ -227,14 +225,13 @@ def _labeled_kernel(counts_ref, w_ref, reach_ref, alpha_ref,
             out_ref[0] = jnp.maximum(out_ref[0], got)
 
         # Backward: alpha in [i-w, i] -> i in [alpha, alpha+w].
-        act_b = (s1 >= amn) & (s0 <= amx + w)
-        if sp_b == int(sp_b) and win * _WIN <= int(sp_b) < (win + 1) * _WIN:
-            act_b |= F32(sp_b) >= amn
+        act_b = ((s1 >= amn) & (s0 <= amx + w)) | (
+            (s0 <= sp_b) & (sp_b <= s1) & (sp_b >= amn))
 
         @pl.when(act_b)
         def _(win=win, i_col=i_col):
             reach = reach_b[win * _WIN:(win + 1) * _WIN, 0:1]
-            lo = jnp.where((i_col == F32(sp_b)) & ring_ge1, F32(0),
+            lo = jnp.where((i_col == sp_b) & ring_ge1, F32(0),
                            i_col - w)
             cond = (reach > 0) & (alpha >= lo) & (alpha <= i_col)
             got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
@@ -245,7 +242,7 @@ def _labeled_kernel(counts_ref, w_ref, reach_ref, alpha_ref,
     out_ref[0] = jnp.where(a_ok, out_ref[0], F32(0))
 
 
-def labeled_pallas(layout, reach_f, reach_b, w, bz: float,
+def labeled_pallas(layout, reach_f, reach_b, w, bz,
                    interpret: bool = False):
     """(R, P) bool road mask: slot reachable by any start of either sweep
     (ops/blind_spots.py `labeled_mask` for both sweeps in one pass).
@@ -268,11 +265,14 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz: float,
     def blk3(a):
         return a.reshape(r * blocks_per_ring, 1, blk_w)
 
+    bzs = jnp.asarray(bz, F32).reshape(1, 1)
     out = pl.pallas_call(
         functools.partial(_labeled_kernel, blocks_per_ring=blocks_per_ring,
-                          blk_w=blk_w, bz=float(bz), r=r),
+                          blk_w=blk_w, r=r),
         grid=(r * blocks_per_ring,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # beam zone
             pl.BlockSpec((1, r), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # counts
             pl.BlockSpec((1, r), lambda i: (0, 0),
@@ -283,5 +283,5 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz: float,
         out_specs=pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((r * blocks_per_ring, 1, blk_w), F32),
         interpret=interpret,
-    )(counts, w2, reach, blk3(layout.alpha))
+    )(bzs, counts, w2, reach, blk3(layout.alpha))
     return out.reshape(r, p) > 0

@@ -35,10 +35,13 @@ I32 = jnp.int32
 def roi_mask(pts: jax.Array, cfg: FilterConfig) -> jax.Array:
     """Crop box + zero-point drop (lidar_segmentation.cpp:106-117)."""
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    # jnp.asarray (not the F32 scalar-type constructor): the bounds may be
+    # dynamic jit operands (config hot-swap without re-trace).
+    s = lambda v: jnp.asarray(v, F32)
     return (
-        (x >= F32(cfg.min_x)) & (x <= F32(cfg.max_x))
-        & (y >= F32(cfg.min_y)) & (y <= F32(cfg.max_y))
-        & (z >= F32(cfg.min_z)) & (z <= F32(cfg.max_z))
+        (x >= s(cfg.min_x)) & (x <= s(cfg.max_x))
+        & (y >= s(cfg.min_y)) & (y <= s(cfg.max_y))
+        & (z >= s(cfg.min_z)) & (z <= s(cfg.max_z))
         & (x + y + z != F32(0))
     )
 
@@ -60,7 +63,7 @@ def discover_rings(alpha: jax.Array, valid: jax.Array, interval: float,
     angles padded with +inf, ring count).  `rings` is the channel cap —
     the reference hardcodes 64 (lidar_segmentation.cpp:4); dims.rings lets
     128-channel sensors keep all their rings."""
-    tol = F32(interval)
+    tol = jnp.asarray(interval, F32)  # may be a dynamic operand
     inf = jnp.array(jnp.inf, F32)
 
     def body(k, st):
@@ -85,7 +88,7 @@ def assign_rings(alpha: jax.Array, valid: jax.Array, angles_sorted: jax.Array,
     (lidar_segmentation.cpp:226-233); rings (= angles_sorted size) =
     dropped."""
     rings = angles_sorted.shape[0]
-    m = jnp.abs(angles_sorted[None, :] - alpha[:, None]) <= F32(interval)
+    m = jnp.abs(angles_sorted[None, :] - alpha[:, None]) <= jnp.asarray(interval, F32)
     has = jnp.any(m, axis=1)
     ring = jnp.argmax(m, axis=1).astype(I32)
     return jnp.where(valid & has, ring, I32(rings))

@@ -32,17 +32,19 @@ from urban_road_filter_tpu.ops.xzero import _new_y_table
 F32 = jnp.float32
 
 
-def _kernel(x_ref, y_ref, z_ref, n_ref, lbl_ref, ny_ref, out_ref, *,
-            cp: int, do_x: bool, do_z: bool,
-            cos1: float, cos2: float, curb_h: float):
+def _kernel(params_ref, x_ref, y_ref, z_ref, n_ref, lbl_ref, ny_ref,
+            out_ref, *, cp: int, do_x: bool, do_z: bool):
     p = x_ref.shape[-1]
     x = x_ref[...]
     y = y_ref[...]
     z = z_ref[...]
     new_y = ny_ref[...]
     n = n_ref[...]  # (RB, 1) per-ring point counts
-    deg = F32(180.0 / math.pi)
-    ch = F32(curb_h)
+    # Thresholds ride SMEM (config hot-swap without re-trace):
+    # [cos(angleFilter1), cos(angleFilter2), curbHeight].
+    cos1 = params_ref[0, 0]
+    cos2 = params_ref[0, 1]
+    ch = params_ref[0, 2]
     h = cp // 2
 
     def sh(a, k):  # a[j+k] along each row (wrap garbage masked by j-range)
@@ -61,7 +63,7 @@ def _kernel(x_ref, y_ref, z_ref, n_ref, lbl_ref, ny_ref, out_ref, *,
         x3 = jnp.sqrt((sh(new_y, cp) - new_y) ** 2 + (sh(z, cp) - z) ** 2)
         bracket = (x3 * x3 - x1 * x1 - x2 * x2) / (F32(-2) * x1 * x2)
         # Cosine-space threshold (no acos in Mosaic; see ops/xzero.py).
-        cond = ((d < F32(5.0)) & (bracket >= F32(cos1))
+        cond = ((d < F32(5.0)) & (bracket >= cos1)
                 & ((jnp.abs(z - sh(z, h)) >= ch)
                    | (jnp.abs(sh(z, cp) - sh(z, h)) >= ch))
                 & (jnp.abs(z - sh(z, cp)) >= F32(0.05))
@@ -92,7 +94,7 @@ def _kernel(x_ref, y_ref, z_ref, n_ref, lbl_ref, ny_ref, out_ref, *,
         bracket = (va1 * vb1 + va2 * vb2) / (
             jnp.sqrt(va1 * va1 + va2 * va2)
             * jnp.sqrt(vb1 * vb1 + vb2 * vb2))
-        cond = ((d < F32(5.0)) & (bracket >= F32(cos2))
+        cond = ((d < F32(5.0)) & (bracket >= cos2)
                 & ((max1 - absz >= ch) | (max2 - absz >= ch))
                 & (jnp.abs(max1 - max2) >= F32(0.05))
                 & j_ok)
@@ -114,16 +116,21 @@ def fused_xz_zero(layout: RingLayout, cfg: FilterConfig,
 
     kernel = functools.partial(
         _kernel, cp=cp, do_x=bool(cfg.x_zero_method),
-        do_z=bool(cfg.z_zero_method),
-        cos1=math.cos(math.radians(float(np.float32(cfg.cylinder_deg_x)))),
-        cos2=math.cos(math.radians(float(np.float32(cfg.cylinder_deg_z)))),
-        curb_h=float(np.float32(cfg.curb_height)))
+        do_z=bool(cfg.z_zero_method))
+
+    # cfg.cos_x / cos_z are host-precomputed in float64 (config.py) and may
+    # be dynamic operands; stage them + curb_height through SMEM.
+    params = jnp.stack([jnp.asarray(cfg.cos_x, F32),
+                        jnp.asarray(cfg.cos_z, F32),
+                        jnp.asarray(cfg.curb_height, F32)]).reshape(1, 3)
 
     row = lambda i: (i, 0)
     new_label = pl.pallas_call(
         kernel,
         grid=(r // rb,),
         in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # thresholds
             pl.BlockSpec((rb, p), row, memory_space=pltpu.VMEM),  # x
             pl.BlockSpec((rb, p), row, memory_space=pltpu.VMEM),  # y
             pl.BlockSpec((rb, p), row, memory_space=pltpu.VMEM),  # z
@@ -134,6 +141,7 @@ def fused_xz_zero(layout: RingLayout, cfg: FilterConfig,
         out_specs=pl.BlockSpec((rb, p), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, p), jnp.int32),
         interpret=interpret,
-    )(layout.x, layout.y, layout.z, layout.counts[:, None], layout.label, new_y)
+    )(params, layout.x, layout.y, layout.z, layout.counts[:, None],
+      layout.label, new_y)
 
     return layout._replace(label=new_label)

@@ -114,16 +114,14 @@ def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
         (fk, r_key, z, iota), dimension=0, num_keys=2, is_stable=True)
 
     # --- edge detection as segmented prefix statistics (cpp:111-151) ---
-    import numpy as np
-
     # f32(angleFilter3_f32 * (M_PI/180)): f64 product of the f32 parameter,
-    # rounded to f32 (star_shaped_search.cpp:160) — computed at trace time
-    # (numpy scalars: they stay concrete Python-side constants under jit).
-    slope_param = np.float32(float(np.float32(cfg.curb_slope_deg))
-                             * (math.pi / 180.0))
-    kdev = np.float32(cfg.kdev_param)
-    kdist = np.float32(cfg.kdist_param)
-    dmin = int(cfg.dmin_param)
+    # rounded to f32 (star_shaped_search.cpp:160) — host-precomputed as
+    # cfg.slope_param (config.py) so it stays exact when the thresholds
+    # arrive as dynamic operands (no-retrace hot-swap).
+    slope_param = jnp.asarray(cfg.slope_param, F32)
+    kdev = jnp.asarray(cfg.kdev_param, F32)
+    kdist = jnp.asarray(cfg.kdist_param, F32)
+    dmin = jnp.asarray(cfg.dmin_param, I32)
 
     first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                              fk_s[1:] != fk_s[:-1]])
@@ -144,8 +142,8 @@ def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
         hp = star_scan_pallas(
             fk_s, first, wk, vstat, jnp.where(wk, slp, F32(0)),
             jnp.where(wk, dr, F32(0)), pid_s,
-            slope_param=float(slope_param), kdev=float(kdev),
-            kdist=float(kdist), dmin=dmin, num_beams=STAR_REP)
+            slope_param=slope_param, kdev=kdev,
+            kdist=kdist, dmin=dmin, num_beams=STAR_REP)
         return hp, jnp.asarray(0, I32)
 
     rank, m, sum_slp = _segmented_cumsums(first, (

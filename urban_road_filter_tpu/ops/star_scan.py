@@ -42,10 +42,9 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
-                      pid_ref, hp_ref, carry, hp_acc, *, g_pad: int,
-                      slope_param: float, kdev: float, kdist: float,
-                      dmin: int):
+def _star_scan_kernel(params_ref, fk_ref, first_ref, wk_ref, vstat_ref,
+                      slp_ref, dr_ref, pid_ref, hp_ref, carry, hp_acc, *,
+                      g_pad: int):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -125,10 +124,16 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
     sum_dev, c_dev = add_carries(rs_dev, row_open, carry[2:3, :])
     dev = jnp.where(m > 0, sum_dev / m, F32(0))
 
+    # Threshold params ride SMEM so config hot-swap needs no re-trace:
+    # [slope_param, kdev, kdist, dmin] (dmin exact in f32, <= 30).
+    slope_param = params_ref[0, 0]
+    kdev = params_ref[0, 1]
+    kdist = params_ref[0, 2]
+    dmin = params_ref[0, 3]
     i_idx = rank - 1
-    adaptive = (i_idx > F32(dmin)) & (
-        (slp * slp - avg * avg) * F32(kdev) * (dr * F32(kdist)) > dev)
-    trigger = wk & ((slp > F32(slope_param)) | adaptive)
+    adaptive = (i_idx > dmin) & (
+        (slp * slp - avg * avg) * kdev * (dr * kdist) > dev)
+    trigger = wk & ((slp > slope_param) | adaptive)
 
     (rs_trig,), _ = seg_scan_rows((jnp.where(trigger, F32(1), F32(0)),))
     cum_trig, c_trig = add_carries(rs_trig, row_open, carry[4:5, :])
@@ -162,8 +167,8 @@ def _star_scan_kernel(fk_ref, first_ref, wk_ref, vstat_ref, slp_ref, dr_ref,
 
 
 def star_scan_pallas(fk_s, first, wk, vstat, slp, dr, pid_s, *,
-                     slope_param: float, kdev: float, kdist: float,
-                     dmin: int, num_beams: int, interpret: bool = False):
+                     slope_param, kdev, kdist, dmin, num_beams: int,
+                     interpret: bool = False):
     """Returns hp: (num_beams,) i32, hp[b] = 1 + pid of beam b's first
     triggering point (0 = none).  Inputs are the beam-sorted stream."""
     n = fk_s.shape[0]
@@ -175,7 +180,12 @@ def star_scan_pallas(fk_s, first, wk, vstat, slp, dr, pid_s, *,
         return jnp.full((n_pad,), fill, dtype).at[:n].set(
             a.astype(dtype)).reshape(n_pad // _LANES, _LANES)
 
+    params = jnp.stack([jnp.asarray(slope_param, F32),
+                        jnp.asarray(kdev, F32),
+                        jnp.asarray(kdist, F32),
+                        jnp.asarray(dmin, I32).astype(F32)]).reshape(1, 4)
     args = (
+        params,
         prep(fk_s, g_pad - 1, I32),
         prep(first, 1, I32),  # padding opens its own (inert) segment
         prep(wk, 0, I32),
@@ -187,11 +197,10 @@ def star_scan_pallas(fk_s, first, wk, vstat, slp, dr, pid_s, *,
     spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     hp_rows = pl.pallas_call(
-        functools.partial(_star_scan_kernel, g_pad=g_pad,
-                          slope_param=slope_param, kdev=kdev, kdist=kdist,
-                          dmin=dmin),
+        functools.partial(_star_scan_kernel, g_pad=g_pad),
         grid=(n_pad // blk,),
-        in_specs=[spec] * 7,
+        in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)] + [spec] * 7,
         out_specs=pl.BlockSpec((_ROWS, g_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_ROWS, g_pad), F32),

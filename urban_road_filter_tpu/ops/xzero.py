@@ -50,12 +50,13 @@ def x_zero(layout: RingLayout, cfg: FilterConfig) -> RingLayout:
 
     bracket = (x3 * x3 - x1 * x1 - x2 * x2) / (F32(-2) * x1 * x2)
     # acos(clip(b)) * 180/pi <= angleFilter1  <=>  b >= cos(angleFilter1):
-    # acos is monotone decreasing, so the threshold moves to cosine space
-    # (computed at trace time) — one transcendental less per point, and the
-    # form Mosaic can lower (no acos primitive on TPU).
-    cos_thresh = F32(math.cos(math.radians(float(np.float32(cfg.cylinder_deg_x)))))
+    # acos is monotone decreasing, so the threshold moves to cosine space —
+    # one transcendental less per point, and the form Mosaic can lower (no
+    # acos primitive on TPU).  cfg.cos_x is host-precomputed in float64
+    # (config.py) and may arrive as a dynamic operand (no-retrace hot-swap).
+    cos_thresh = jnp.asarray(cfg.cos_x, F32)
 
-    ch = F32(cfg.curb_height)
+    ch = jnp.asarray(cfg.curb_height, F32)
     cond = (
         (d < F32(5.0))
         & (bracket >= cos_thresh)

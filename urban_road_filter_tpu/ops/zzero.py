@@ -60,9 +60,10 @@ def z_zero(layout: RingLayout, cfg: FilterConfig) -> RingLayout:
         jnp.sqrt(va1 * va1 + va2 * va2) * jnp.sqrt(vb1 * vb1 + vb2 * vb2))
     # Cosine-space threshold (see ops/xzero.py): alpha <= angleFilter2
     # <=> bracket >= cos(angleFilter2); NaN brackets fail both forms.
-    cos_thresh = F32(math.cos(math.radians(float(np.float32(cfg.cylinder_deg_z)))))
+    # cfg.cos_z is host-precomputed (config.py) and may be a dynamic operand.
+    cos_thresh = jnp.asarray(cfg.cos_z, F32)
 
-    ch = F32(cfg.curb_height)
+    ch = jnp.asarray(cfg.curb_height, F32)
     cond = (
         (d < F32(5.0))
         & (bracket >= cos_thresh)

@@ -88,7 +88,7 @@ def _discover_rings_sharded(alpha, orig_idx, valid, interval: float,
     Exact (original input order) reformulation: each of the `rings` steps
     picks the unmatched point with the globally smallest *original* index
     via an all_gather over the wedge axis."""
-    tol = F32(interval)
+    tol = jnp.asarray(interval, F32)  # may be a dynamic operand
     inf = jnp.array(jnp.inf, F32)
     big = jnp.array(_BIG, I32)
 

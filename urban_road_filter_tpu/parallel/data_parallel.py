@@ -20,13 +20,22 @@ from urban_road_filter_tpu.pipeline import ScanResult, process_scan
 
 
 def make_sharded_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
-    """Returns fn(pts_batch (B, N, 4)) -> ScanResult with leading B axis,
-    input/output sharded over the mesh "data" axis."""
+    """Returns fn(pts_batch (B, N, 4), cfg=None) -> ScanResult with leading
+    B axis, input/output sharded over the mesh "data" axis.  Passing a new
+    ``cfg`` per call hot-swaps the dynamic parameters without re-trace
+    (the static half re-traces, like the single-device path)."""
     in_sharding = batch_sharding(mesh, 3)
+    static0, _ = cfg.split()
 
-    @functools.partial(jax.jit, in_shardings=(in_sharding,),
+    @functools.partial(jax.jit, static_argnums=(2,),
+                       in_shardings=(in_sharding, None),
                        out_shardings=batch_sharding(mesh, 1))
-    def run(pts):
-        return jax.vmap(lambda p: process_scan(p, cfg, dims))(pts)
+    def _run(pts, dyn, static_cfg):
+        rcfg = static_cfg.merge(dyn)
+        return jax.vmap(lambda p: process_scan(p, rcfg, dims))(pts)
+
+    def run(pts, cfg_now: FilterConfig = None):
+        st, dyn = (static0, cfg.split()[1]) if cfg_now is None else cfg_now.split()
+        return _run(pts, dyn, st)
 
     return run

@@ -149,15 +149,37 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
         probably_road=(ring_id == int(cfg.probably_road_ring)) & gate)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+# Trace counters (exposed for tests asserting the no-retrace hot-swap).
+TRACE_COUNTS = {"scan": 0, "batch": 0}
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _process_scan_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
+    TRACE_COUNTS["scan"] += 1  # trace-time side effect only
+    return process_scan(pts, static_cfg.merge(dyn), dims)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _process_batch_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
+    TRACE_COUNTS["batch"] += 1
+    cfg = static_cfg.merge(dyn)
+    return jax.vmap(lambda p: process_scan(p, cfg, dims))(pts)
+
+
 def process_scan_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
-    return process_scan(pts, cfg, dims)
+    """Jitted single-scan pipeline.  The config is split into a static
+    (hashable) half — the jit cache key — and a pytree of dynamic scalar
+    operands, so hot-swapping any continuous parameter between scans is a
+    cache HIT (the reference's paramsCallback applies instantly,
+    main.cpp:4-34; a 2-5 min server-side re-trace would not)."""
+    static_cfg, dyn = cfg.split()
+    return _process_scan_dyn(pts, dyn, static_cfg, dims)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
 def process_batch_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
     """(B, N, 4) batched pipeline — the throughput path (BASELINE config #4)."""
-    return jax.vmap(lambda p: process_scan(p, cfg, dims))(pts)
+    static_cfg, dyn = cfg.split()
+    return _process_batch_dyn(pts, dyn, static_cfg, dims)
 
 
 def pad_scan(points, n: int):
