@@ -22,8 +22,10 @@ try:
     import runner
 
     BINARY = runner.build()
+    FULL_BINARY = runner.build_full()
 except Exception as e:  # toolchain/reference missing -> skip below
     BINARY = None
+    FULL_BINARY = None
     _BUILD_ERR = e
 
 F32 = np.float32
@@ -135,6 +137,126 @@ def test_blind_stage_matches_cpp(scene, scene_scans):
     want = [r.copy() for r in rl_s]
     oracle._blind_spots(ra_s, want, index, maxd, cfg)
     _agree(got, [w.astype(np.int32) for w in want], f"blind[{scene}]")
+
+
+class TestFullPipeline:
+    """End-to-end Detector::filtered vs run_oracle (VERDICT r2 item 1: ring
+    discovery, arc build, azimuth quadrants and the marker search previously
+    had no C++ ground truth — this drives the whole node)."""
+
+    def _run_pair(self, pts, cfg):
+        from urban_road_filter_tpu.oracle import run_oracle
+
+        res = runner.full(FULL_BINARY, [pts], cfg)[0]
+        o = run_oracle(pts, cfg)
+        return res, o
+
+    @staticmethod
+    def _label_map(n, road, curb):
+        m = np.zeros(n, np.int8)
+        m[road] = 1
+        m[curb] = 2
+        return m
+
+    @pytest.mark.parametrize("scene", SCENES_TO_CHECK)
+    def test_clouds_match_oracle(self, scene, scene_scans):
+        cfg = FilterConfig()
+        pts = scene_scans[scene]
+        res, o = self._run_pair(pts, cfg)
+        assert res.published == o.ok
+        if not o.ok:
+            return
+        roi_ids = np.flatnonzero(o.roi_mask)
+        # ROI cloud: exact ids in input order (ConditionalRemoval preserves
+        # order; lidar_segmentation.cpp:106-121).
+        assert np.array_equal(res.roi_ids, roi_ids)
+        # road_probably: the verbatim ring dump (cpp:605-608).
+        assert np.array_equal(res.probably_ids, roi_ids[o.probably_road_ids])
+        # Per-point labels: C++ publish order may differ on azimuth ties
+        # (unstable quicksort, PARITY.md item 1) — compare label MAPS.
+        got = self._label_map(len(pts), res.road_ids, res.curb_ids)
+        want = self._label_map(len(pts), roi_ids[o.road_ids],
+                               roi_ids[o.curb_ids])
+        agree = float(np.mean(got == want))
+        assert agree >= 0.999, f"{scene}: label map agreement {agree:.5f}"
+
+    @pytest.mark.parametrize("scene", ["two_curbs", "blind_spot"])
+    def test_markers_match_postprocess(self, scene, scene_scans):
+        """The C++ marker array (search + smoothing + strips + RDP + zavg)
+        vs the oracle's marker rows fed through our postprocess — exact
+        strip structure, colors and ids; coordinates to f32 rounding."""
+        from urban_road_filter_tpu.postprocess import (
+            build_line_strips, smooth_marker_flags)
+
+        cfg = FilterConfig()
+        pts = scene_scans[scene]
+        res, o = self._run_pair(pts, cfg)
+        rows = o.marker_points.copy()
+        assert len(rows) > 2
+        rows[:, 3] = smooth_marker_flags(rows[:, 3])
+        strips, _ = build_line_strips(
+            rows, polysimp_allow=cfg.simple_poly_allow,
+            polysimp=cfg.poly_s_param, polyz=cfg.poly_z_manual,
+            zavg_allow=cfg.poly_z_avg_allow)
+        assert len(strips) == len(res.markers)
+        for s, m in zip(strips, res.markers):
+            assert s.id == m["id"]
+            assert (s.color == "red") == m["red"]
+            assert m["action"] == "add"
+            assert len(s.points) == len(m["points"])
+            # f32 (ours) vs f64-holding-f32 (ROS msg): tiny quantization.
+            assert np.max(np.abs(s.points - m["points"])) < 1e-4
+
+    @pytest.mark.parametrize("kw", [
+        dict(),
+        dict(beam_zone=45.5),
+        dict(starbeam_filter=True),
+        dict(x_direction=1),
+        dict(curb_points=3),
+        dict(simple_poly_allow=False),
+        dict(poly_z_avg_allow=False, poly_z_manual=-2.0),
+    ])
+    def test_config_variants_label_maps(self, kw, scene_scans):
+        cfg = FilterConfig(**kw)
+        pts = scene_scans["two_curbs"]
+        res, o = self._run_pair(pts, cfg)
+        roi_ids = np.flatnonzero(o.roi_mask)
+        got = self._label_map(len(pts), res.road_ids, res.curb_ids)
+        want = self._label_map(len(pts), roi_ids[o.road_ids],
+                               roi_ids[o.curb_ids])
+        agree = float(np.mean(got == want))
+        assert agree >= 0.999, f"{kw}: label map agreement {agree:.5f}"
+
+    def test_ghost_delete_across_scans(self, scene_scans):
+        """ghostcount persists across scans in one process: a scan with
+        fewer strips than the previous one must publish DELETE markers with
+        the exact id range (lidar_segmentation.cpp:23,591-598) — compared
+        against MarkerTracker on the oracle's rows."""
+        from urban_road_filter_tpu.oracle import run_oracle
+        from urban_road_filter_tpu.postprocess import (
+            MarkerTracker, build_line_strips, smooth_marker_flags)
+
+        cfg = FilterConfig()
+        many = scene_scans["blind_spot"]  # several strips
+        few = scene_scans["flat"]  # fewer strips
+        seq = [many, few]
+        res = runner.full(FULL_BINARY, seq, cfg)
+        tracker = MarkerTracker()
+        for r, pts in zip(res, seq):
+            o = run_oracle(pts, cfg)
+            rows = o.marker_points.copy()
+            if len(rows) <= 2:
+                assert not r.markers
+                continue
+            rows[:, 3] = smooth_marker_flags(rows[:, 3])
+            strips, lsid = build_line_strips(
+                rows, polysimp_allow=cfg.simple_poly_allow,
+                polysimp=cfg.poly_s_param, polyz=cfg.poly_z_manual,
+                zavg_allow=cfg.poly_z_avg_allow)
+            strips = tracker.finalize(strips, lsid)
+            assert [s.action for s in strips] == [m["action"]
+                                                  for m in r.markers]
+            assert [s.id for s in strips] == [m["id"] for m in r.markers]
 
 
 def test_blind_stage_x_direction_variants(scene_scans):

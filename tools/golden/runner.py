@@ -53,9 +53,109 @@ def build(force: bool = False):
     return out
 
 
-def _run(binary: str, mode: str, payload: bytes) -> bytes:
-    p = subprocess.run([binary, mode], input=payload,
-                       stdout=subprocess.PIPE, check=True)
+def build_full(force: bool = False):
+    """Compile the FULL-pipeline harness (golden_full.cpp +
+    lidar_segmentation.cpp + the four algorithm TUs, all reference sources
+    verbatim).  Returns the binary path or None (no toolchain/reference)."""
+    gxx = shutil.which("g++")
+    if gxx is None or not os.path.isdir(os.path.join(REF, "src")):
+        return None
+    out = os.path.join(BUILD, "golden_full")
+    srcs = [os.path.join(REF, "src", s)
+            for s in SOURCES + ("lidar_segmentation.cpp",)] + [
+        os.path.join(HERE, "golden_full.cpp")]
+    stub_dir = os.path.join(HERE, "stubs")
+    stubs = [os.path.join(dp, f) for dp, _, fs in os.walk(stub_dir) for f in fs]
+    deps = srcs + stubs + [os.path.join(REF, "include", "urban_road_filter",
+                                        "data_structures.hpp")]
+    if (not force and os.path.exists(out)
+            and all(os.path.getmtime(out) > os.path.getmtime(s) for s in deps)):
+        return out
+    os.makedirs(BUILD, exist_ok=True)
+    cmd = [gxx, "-std=c++17", "-O2", "-ffp-contract=off",
+           "-I", stub_dir, "-I", os.path.join(REF, "include"),
+           *srcs, "-o", out]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"golden full harness build failed:\n{r.stderr}")
+    return out
+
+
+class FullScanResult:
+    """One scan's outputs from the reference node (input-index clouds +
+    marker array rows)."""
+
+    def __init__(self, published, road_ids, curb_ids, roi_ids, probably_ids,
+                 markers):
+        self.published = published
+        self.road_ids = road_ids  # np int32, input indices, publish order
+        self.curb_ids = curb_ids
+        self.roi_ids = roi_ids
+        self.probably_ids = probably_ids
+        # markers: list of dicts {id, action ("add"/"delete"), red: bool,
+        # points: (n, 3) f64}
+        self.markers = markers
+
+
+def full(binary, scans, cfg) -> list:
+    """Drive Detector::filtered over `scans` (list of (n, >=3) arrays) in
+    ONE process (ghostcount persists across scans, like the live node).
+    Returns a FullScanResult per scan."""
+    payload = struct.pack("<i", len(scans))
+    payload += struct.pack(
+        "<16f", cfg.interval, cfg.min_x, cfg.max_x, cfg.min_y, cfg.max_y,
+        cfg.min_z, cfg.max_z, cfg.curb_height, cfg.beam_zone,
+        cfg.cylinder_deg_x, cfg.cylinder_deg_z, cfg.curb_slope_deg,
+        cfg.kdev_param, cfg.kdist_param, cfg.poly_s_param, cfg.poly_z_manual)
+    payload += struct.pack(
+        "<10i", int(cfg.curb_points), int(cfg.dmin_param),
+        int(cfg.x_direction), int(cfg.x_zero_method), int(cfg.z_zero_method),
+        int(cfg.star_shaped_method), int(cfg.blind_spots),
+        int(cfg.starbeam_filter), int(cfg.simple_poly_allow),
+        int(cfg.poly_z_avg_allow))
+    for pts in scans:
+        pts = np.asarray(pts, np.float32)
+        payload += struct.pack("<i", len(pts))
+        for c in range(3):
+            payload += _f32(pts[:, c])
+
+    raw = _run(binary, None, payload)
+    off = [0]
+
+    def take(n):
+        b = raw[off[0]:off[0] + n]
+        assert len(b) == n, "golden_full: short output"
+        off[0] += n
+        return b
+
+    def i32():
+        return struct.unpack("<i", take(4))[0]
+
+    out = []
+    for _ in scans:
+        if i32() == 0:
+            out.append(FullScanResult(False, *([np.zeros(0, np.int32)] * 4),
+                                      []))
+            continue
+        clouds = []
+        for _t in range(4):
+            c = i32()
+            clouds.append(np.frombuffer(take(4 * c), "<i4").copy())
+        markers = []
+        for _m in range(i32()):
+            mid, action, red, npts = i32(), i32(), i32(), i32()
+            pts = np.frombuffer(take(24 * npts), "<f8").reshape(npts, 3).copy()
+            markers.append(dict(id=mid,
+                                action="delete" if action == 2 else "add",
+                                red=bool(red), points=pts))
+        road, curb, roi, prob = clouds
+        out.append(FullScanResult(True, road, curb, roi, prob, markers))
+    return out
+
+
+def _run(binary: str, mode, payload: bytes) -> bytes:
+    argv = [binary] if mode is None else [binary, mode]
+    p = subprocess.run(argv, input=payload, stdout=subprocess.PIPE, check=True)
     return p.stdout
 
 
