@@ -33,7 +33,8 @@ from urban_road_filter_tpu.constants import LABEL_CURB, LABEL_ROAD
 from urban_road_filter_tpu.postprocess import MarkerTracker, build_line_strips, smooth_marker_flags
 from urban_road_filter_tpu.utils.metrics import ScanStats, StreamMetrics
 
-__all__ = ["ScanOutputs", "ReplayHarness", "scene_source", "npz_source", "pcd_dir_source"]
+__all__ = ["ScanOutputs", "ReplayHarness", "scene_source", "npz_source",
+           "pcd_dir_source", "bag_source"]
 
 
 @dataclasses.dataclass
@@ -72,6 +73,14 @@ def pcd_dir_source(path: str) -> Iterator[np.ndarray]:
     for name in sorted(os.listdir(path)):
         if name.endswith(".pcd"):
             yield read_pcd(os.path.join(path, name))
+
+
+def bag_source(path: str, topic: Optional[str] = None) -> Iterator[np.ndarray]:
+    """Recorded rosbag PointCloud2 stream (the reference's own validation
+    flow replays a campus rosbag, reference README.md:36-46)."""
+    from urban_road_filter_tpu.io.rosbag import read_bag
+
+    yield from read_bag(path, topic=topic)
 
 
 class ReplayHarness:
@@ -273,6 +282,9 @@ def main() -> None:
     ap.add_argument("--scene", default="two_curbs")
     ap.add_argument("--npz", default=None, help="NPZ scan sequence path")
     ap.add_argument("--pcd-dir", default=None, help="directory of .pcd files")
+    ap.add_argument("--bag", default=None, help="rosbag (v2.0) file")
+    ap.add_argument("--bag-topic", default=None,
+                    help="PointCloud2 topic in the bag (default: first found)")
     ap.add_argument("--scans", type=int, default=50)
     ap.add_argument("--rate-hz", type=float, default=0.0,
                     help="replay rate; 0 = as fast as possible")
@@ -295,7 +307,11 @@ def main() -> None:
 
     # Validate inputs before jax initializes (device warm-up can take
     # minutes on tunneled backends; fail fast on user errors).
-    if args.npz:
+    if args.bag:
+        if not os.path.exists(args.bag):
+            raise SystemExit(f"error: --bag file not found: {args.bag}")
+        source = bag_source(args.bag, topic=args.bag_topic)
+    elif args.npz:
         if not os.path.exists(args.npz):
             raise SystemExit(f"error: --npz file not found: {args.npz}")
         source = npz_source(args.npz)
