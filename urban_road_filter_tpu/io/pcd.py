@@ -52,9 +52,16 @@ def lzf_decompress(data: bytes, expected_size: int) -> bytes:
             i += 1
             if ref < 0:
                 raise ValueError("LZF back-reference before stream start")
-            for _ in range(length + 2):  # may overlap: byte-by-byte
-                out.append(out[ref])
-                ref += 1
+            cnt = length + 2
+            if ref + cnt <= len(out):
+                # Non-overlapping: one slice extend (ADVICE r2: the
+                # byte-by-byte loop made full-size compressed scans cost
+                # seconds each; overlap is the rare RLE case).
+                out += out[ref:ref + cnt]
+            else:
+                for _ in range(cnt):  # overlapping: byte-by-byte semantics
+                    out.append(out[ref])
+                    ref += 1
     if len(out) != expected_size:
         raise ValueError(f"LZF decompressed {len(out)} bytes, "
                          f"header declared {expected_size}")
@@ -181,7 +188,18 @@ def read_pcd(path: str | os.PathLike, use_native: bool = True) -> np.ndarray:
             # blob of the cloud in structure-of-arrays order (all x values,
             # then all y values, ...).
             comp_n, raw_n = struct.unpack("<II", f.read(8))
-            blob = lzf_decompress(f.read(comp_n), raw_n)
+            comp = f.read(comp_n)
+            blob = None
+            if use_native:
+                try:
+                    from urban_road_filter_tpu.runtime.native import (
+                        lzf_decompress_native)
+
+                    blob = lzf_decompress_native(comp, raw_n)
+                except Exception:
+                    blob = None
+            if blob is None:
+                blob = lzf_decompress(comp, raw_n)
             rec = np.zeros(n, dt)
             off = 0
             for name, size, typ, cnt in zip(fields, sizes, types, counts):

@@ -84,6 +84,46 @@ bool parse_header(FILE* f, PcdHeader* h) {
   return true;
 }
 
+// liblzf stream decoder (PCL binary_compressed payloads; same control-byte
+// scheme as io/pcd.py lzf_decompress, fuzz-tested against it): ctrl < 32 is
+// a literal run of ctrl+1 bytes; otherwise a back-reference of (ctrl>>5)+2
+// bytes (+1 extension byte when saturated at 7) at distance
+// ((ctrl & 0x1f) << 8) + next + 1.  Returns bytes written or -1 on a
+// malformed stream (overrun, dangling reference, size mismatch).
+long lzf_decompress(const unsigned char* in, long in_len, unsigned char* out,
+                    long out_len) {
+  long i = 0, o = 0;
+  while (i < in_len) {
+    unsigned ctrl = in[i++];
+    if (ctrl < 32) {
+      long run = (long)ctrl + 1;
+      if (i + run > in_len || o + run > out_len) return -1;
+      std::memcpy(out + o, in + i, (size_t)run);
+      i += run;
+      o += run;
+    } else {
+      long len = (long)(ctrl >> 5);
+      if (len == 7) {
+        if (i >= in_len) return -1;
+        len += in[i++];
+      }
+      len += 2;
+      if (i >= in_len) return -1;
+      long ref = o - (((long)(ctrl & 0x1F) << 8) + in[i++] + 1);
+      if (ref < 0 || o + len > out_len) return -1;
+      // References may overlap their output (RLE-style); copy forward
+      // byte-wise only in that case, else one memcpy.
+      if (o - ref >= len) {
+        std::memcpy(out + o, out + ref, (size_t)len);
+        o += len;
+      } else {
+        for (long k = 0; k < len; k++) out[o++] = out[ref++];
+      }
+    }
+  }
+  return o == out_len ? o : -1;
+}
+
 float field_as_float(const unsigned char* p, const Field& f) {
   if (f.type == 'F' && f.size == 4) { float v; std::memcpy(&v, p, 4); return v; }
   if (f.type == 'F' && f.size == 8) { double v; std::memcpy(&v, p, 8); return (float)v; }
@@ -217,8 +257,73 @@ long urf_read_pcd(const char* path, float* out, long capacity) {
     return written;
   }
 
+  if (h.data == "binary_compressed") {
+    // PCL layout: u32 compressed size, u32 uncompressed size, LZF blob of
+    // the cloud in structure-of-arrays order (each field's block is
+    // size*count*points bytes) — PCL's DEFAULT save format, so this is the
+    // hot real-data path (the Python codec is a per-byte loop).
+    unsigned char szs[8];
+    if (fread(szs, 1, 8, f) != 8) { fclose(f); return -4; }
+    uint32_t comp_n, raw_n;
+    std::memcpy(&comp_n, szs, 4);
+    std::memcpy(&raw_n, szs + 4, 4);
+    // Bound both sizes by what SoA layout implies; never trust the header.
+    if ((long)raw_n < h.points * (long)h.point_stride) { fclose(f); return -2; }
+    std::vector<unsigned char> comp(comp_n);
+    if (fread(comp.data(), 1, comp_n, f) != comp_n) { fclose(f); return -4; }
+    fclose(f);
+    std::vector<unsigned char> raw(raw_n);
+    if (lzf_decompress(comp.data(), (long)comp_n, raw.data(), (long)raw_n) < 0)
+      return -2;
+
+    // SoA block offsets per field.
+    long foff_x = -1, foff_y = -1, foff_z = -1, foff_i = -1;
+    {
+      long off = 0;
+      for (size_t k = 0; k < h.fields.size(); k++) {
+        const Field& fd = h.fields[k];
+        if ((int)k == fx) foff_x = off;
+        else if ((int)k == fy) foff_y = off;
+        else if ((int)k == fz) foff_z = off;
+        else if ((int)k == fi) foff_i = off;
+        off += (long)fd.size * fd.count * h.points;
+      }
+    }
+    // Within a field's SoA block, point p's value starts at
+    // p * size * count (multi-count fields store their components
+    // per point; x/y/z/intensity use the first component).
+    auto copy_col = [&](long foff, int fidx, int col) {
+      if (foff < 0) {
+        for (long p = 0; p < n; p++) out[p * 4 + col] = 0.0f;
+        return;
+      }
+      const Field& fd = h.fields[fidx];
+      const long stride = (long)fd.size * fd.count;
+      const unsigned char* base = raw.data() + foff;
+      if (fd.type == 'F' && fd.size == 4) {  // the common case: one memcpy
+        for (long p = 0; p < n; p++)
+          std::memcpy(&out[p * 4 + col], base + p * stride, 4);
+      } else {
+        for (long p = 0; p < n; p++)
+          out[p * 4 + col] = field_as_float(base + p * stride, fd);
+      }
+    };
+    copy_col(foff_x, fx, 0);
+    copy_col(foff_y, fy, 1);
+    copy_col(foff_z, fz, 2);
+    copy_col(foff_i, fi, 3);
+    return n;
+  }
+
   fclose(f);
-  return -3;  // binary_compressed etc.
+  return -3;  // unknown DATA kind
+}
+
+// Standalone LZF decode for fuzz tests against the Python codec.
+// Returns bytes written or -1 on malformed input.
+long urf_lzf_decompress(const unsigned char* in, long in_len,
+                        unsigned char* out, long out_len) {
+  return lzf_decompress(in, in_len, out, out_len);
 }
 
 // Stage a batch: copy (and zero-pad) B variable-length scans into a
@@ -246,7 +351,7 @@ void urf_stage_batch(const float** scans, const long* lens, long b,
   for (auto& t : ts) t.join();
 }
 
-// ABI sanity marker.
-long urf_native_abi_version() { return 1; }
+// ABI sanity marker (2: + binary_compressed parse, urf_lzf_decompress).
+long urf_native_abi_version() { return 2; }
 
 }  // extern "C"

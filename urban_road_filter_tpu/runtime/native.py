@@ -52,8 +52,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_long), ctypes.c_long,
         ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+    lib.urf_lzf_decompress.restype = ctypes.c_long
+    lib.urf_lzf_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long]
     lib.urf_native_abi_version.restype = ctypes.c_long
-    assert lib.urf_native_abi_version() == 1
+    assert lib.urf_native_abi_version() == 2
     return lib
 
 
@@ -85,6 +89,19 @@ def read_pcd_native(path: str, max_points: int = 1 << 22) -> Optional[np.ndarray
     if n < 0:
         raise ValueError(f"native PCD parse failed ({n}) for {path}")
     return out[:n].copy()
+
+
+def lzf_decompress_native(data: bytes, expected_size: int) -> Optional[bytes]:
+    """Native LZF decode (PCL binary_compressed payloads).  None when the
+    native lib is unavailable; raises ValueError on malformed streams."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_ubyte * expected_size)()
+    n = lib.urf_lzf_decompress(data, len(data), out, expected_size)
+    if n != expected_size:
+        raise ValueError(f"native LZF decode failed ({n})")
+    return bytes(out)
 
 
 def stage_batch_native(scans: Sequence[np.ndarray], cap: int) -> Optional[np.ndarray]:
