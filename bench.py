@@ -90,16 +90,62 @@ def main() -> None:
         lats.append((time.perf_counter() - t0) * 1e3)
     latency_ms_p50 = float(np.percentile(lats, 50))
 
-    # On-device label parity vs the NumPy oracle on one full-size scan —
-    # a TPU-numerics regression (e.g. a Pallas kernel change) fails here
-    # instead of shipping invisibly (VERDICT r1 Weak #5).
+    # On-device label parity vs the NumPy oracle across SCENE x CONFIG
+    # pairs — a TPU-numerics regression (e.g. a Pallas kernel change) in
+    # any exercised config fails here instead of shipping invisibly
+    # (VERDICT r1 Weak #5; r2 Weak #1 broadened this beyond one pair).
+    # Compile economy: pair 2 swaps only DYNAMIC params (cache hit on the
+    # single-scan graph), pairs 3-4 share one extra small-dims trace.
+    from urban_road_filter_tpu.io.synthetic import make_scan as _mk
     from urban_road_filter_tpu.oracle import run_oracle
+    from urban_road_filter_tpu.pipeline import process_scan_jit as _psj
 
-    raw = scans[0]
-    orc = run_oracle(raw, cfg)
-    got = np.asarray(out.labels[0])[orc.roi_mask]
-    parity = float(np.mean(got == orc.labels)) if orc.labels.size else 1.0
-    assert parity >= 0.999, f"on-device parity {parity:.5f} < 0.999"
+    def _parity(raw_scan, out_labels, pcfg):
+        orc = run_oracle(raw_scan, pcfg)
+        if not orc.labels.size:
+            return 1.0
+        got = np.asarray(out_labels)[:len(raw_scan)][orc.roi_mask]
+        return float(np.mean(got == orc.labels))
+
+    parity_pairs = {}
+    parity_pairs["two_curbs/default"] = _parity(scans[0], out.labels[0], cfg)
+
+    cfg2 = cfg.replace(beam_zone=45.5, curb_height=0.11,
+                       cylinder_deg_x=140.0, curb_slope_deg=45.0)
+    o2 = process_scan_jit(pts[1], cfg2, dims)  # dynamic swap: cache hit
+    parity_pairs["blind_spot/dyn-swap"] = _parity(scans[1], o2.labels, cfg2)
+
+    dims_s = PipelineDims(max_points=16384, rings=64, ring_capacity=1024,
+                          beam_capacity=256)
+    cfg3 = cfg.replace(starbeam_filter=True, dmin_param=8)
+    raw3 = pad_scan(_mk(SCENES["two_curbs"](), n_rings=24, n_azimuth=384,
+                        seed=31), dims_s.max_points)
+    o3 = process_scan_jit(jax.numpy.asarray(raw3), cfg3, dims_s)
+    parity_pairs["two_curbs/starbeam"] = _parity(raw3, o3.labels, cfg3)
+
+    cfg4 = cfg3.replace(interval=0.3, beam_zone=42.5)  # cache hit on cfg3's graph
+    raw4 = pad_scan(_mk(SCENES["curb_gap"](), n_rings=24, n_azimuth=384,
+                        seed=32), dims_s.max_points)
+    o4 = process_scan_jit(jax.numpy.asarray(raw4), cfg4, dims_s)
+    parity_pairs["curb_gap/interval"] = _parity(raw4, o4.labels, cfg4)
+
+    parity = min(parity_pairs.values())
+    assert parity >= 0.999, f"on-device parity {parity_pairs} min < 0.999"
+
+    # Small-batch streaming latency (VERDICT r2 item 10): batch 8, two in
+    # flight — the per-scan operating mode's end-to-end story.  A scan's
+    # end-to-end latency under a depth-2 pipeline is ~2 batch steps.
+    o8 = process_batch_jit(pts[:8], cfg, dims)  # compile
+    np.asarray(o8.ok)
+    inflight = [process_batch_jit(pts[:8], cfg, dims)]
+    lats8 = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        inflight.append(process_batch_jit(pts[:8], cfg, dims))
+        np.asarray(inflight.pop(0).ok)
+        lats8.append((time.perf_counter() - t0) * 1e3)
+    np.asarray(inflight.pop(0).ok)
+    small8_step_ms = float(np.percentile(lats8, 50))
 
     result = {
         "metric": "scans_per_sec_64beam_100k",
@@ -111,7 +157,13 @@ def main() -> None:
             "step_ms": round(step_ms, 2),
             "pipelined_step_ms": round(dt_pipe * 1000.0, 2),
             "latency_ms_p50": round(latency_ms_p50, 2),
+            # Small-batch streaming mode: p50 per-batch step at batch 8
+            # with 2 in flight; a scan's end-to-end latency is ~2 steps,
+            # amortized per-scan cost is step/8.
+            "small_batch8_step_ms_p50": round(small8_step_ms, 2),
+            "small_batch8_ms_per_scan": round(small8_step_ms / 8.0, 2),
             "parity": round(parity, 5),
+            "parity_pairs": {k: round(v, 5) for k, v in parity_pairs.items()},
             "points_per_scan": dims.max_points,
             "device": str(jax.devices()[0]),
         },

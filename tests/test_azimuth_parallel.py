@@ -39,13 +39,13 @@ def test_sp_matches_single_device(scene, mesh8):
     out = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
     ref = process_scan_jit(pts, cfg, DIMS)
 
-    l_sp = np.asarray(out["labels"])
+    l_sp = np.asarray(out.labels)
     l_ref = np.asarray(ref.labels)
     agree = np.mean(l_sp == l_ref)
     # Up to a handful of flips from newY-table rounding in the halo frame.
     assert agree >= 0.999, f"{scene}: SP label agreement {agree:.5f}"
 
-    m_sp = np.asarray(out["markers"])
+    m_sp = np.asarray(out.markers)
     m_ref = np.asarray(ref.markers)
     same = np.all(np.abs(m_sp - m_ref) < 1e-4, axis=1)
     assert np.mean(same) >= 0.97, f"{scene}: marker rows {np.mean(same):.3f}"
@@ -72,10 +72,10 @@ def test_sp_flood_pallas_wiring_matches_xla(mesh8):
         got = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
     finally:
         ap._FORCE_FLOOD_PALLAS_INTERPRET = False
-    lab = np.mean(np.asarray(got["labels"]) == np.asarray(want["labels"]))
+    lab = np.mean(np.asarray(got.labels) == np.asarray(want.labels))
     assert lab >= 0.999, f"SP pallas-vs-xla labels {lab:.5f}"
-    mw = np.asarray(want["markers"])
-    mg = np.asarray(got["markers"])
+    mw = np.asarray(want.markers)
+    mg = np.asarray(got.markers)
     same = np.all(np.abs(mg - mw) < 1e-4, axis=1)
     assert np.mean(same) >= 0.97, f"marker rows differ: {np.mean(same):.3f}"
 
@@ -93,14 +93,14 @@ def test_sp_overflow_counter_surfaced(mesh8):
     pts[:m, 1] = -pts[:m, 0] * np.float32(np.tan(np.radians(12.0)))
     pts[:m, 2] = -1.2
     out = make_azimuth_pipeline(mesh8, cfg, DIMS)(jax.numpy.asarray(pts))
-    assert int(out["overflow"]) == m - n // 8
+    assert int(out.overflow) == m - n // 8
 
     # And a balanced scan reports zero.
     scan = alpha_sorted(make_scan(SCENES["flat"](), n_rings=16, n_azimuth=384,
                                   seed=5))
     out2 = make_azimuth_pipeline(mesh8, cfg, DIMS)(
         jax.numpy.asarray(pad_scan(scan, DIMS.max_points)))
-    assert int(out2["overflow"]) == 0
+    assert int(out2.overflow) == 0
 
 
 def test_sp_bad_wedge_count_rejected(mesh8):
@@ -136,7 +136,7 @@ def test_sp_sector_360_walks_with_beam_zero(mesh8):
     pts = jax.numpy.asarray(pad_scan(scan, DIMS.max_points))
     out = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
     ref = process_scan_jit(pts, cfg, DIMS)
-    l_sp = np.asarray(out["labels"])
+    l_sp = np.asarray(out.labels)
     l_ref = np.asarray(ref.labels)
     agree = np.mean(l_sp == l_ref)
     assert agree >= 0.999, f"SP sector-360 label agreement {agree:.5f}"
@@ -144,6 +144,73 @@ def test_sp_sector_360_walks_with_beam_zero(mesh8):
     is_beam0 = np.isin(pts[:, 0], xs) | (np.asarray(pts[:, 1]) == -1e-7)
     np.testing.assert_array_equal(l_sp[np.asarray(is_beam0)],
                                   l_ref[np.asarray(is_beam0)])
+
+
+@pytest.mark.parametrize("scene", ["two_curbs", "blind_spot"])
+def test_sp_full_scanresult_surface(scene, mesh8):
+    """SP is a first-class pipeline (VERDICT r2 item 5): the five-topic
+    ScanResult surface must match the single-device path."""
+    cfg = FilterConfig()
+    scan = alpha_sorted(make_scan(SCENES[scene](), n_rings=16, n_azimuth=384,
+                                  seed=13))
+    pts = jax.numpy.asarray(pad_scan(scan, DIMS.max_points))
+    out = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
+    ref = process_scan_jit(pts, cfg, DIMS)
+
+    assert bool(out.ok) == bool(ref.ok)
+    np.testing.assert_array_equal(np.asarray(out.roi), np.asarray(ref.roi))
+    np.testing.assert_array_equal(np.asarray(out.probably_road),
+                                  np.asarray(ref.probably_road))
+    assert int(out.num_rings) == int(ref.num_rings)
+    assert int(out.overflow) == int(ref.overflow) == 0
+    # Ring ids: identical global greedy discovery -> identical assignment.
+    assert np.mean(np.asarray(out.ring_id) == np.asarray(ref.ring_id)) == 1.0
+    np.testing.assert_array_equal(np.asarray(out.counts),
+                                  np.asarray(ref.counts))
+    np.testing.assert_allclose(np.asarray(out.max_distance),
+                               np.asarray(ref.max_distance), rtol=1e-6)
+    assert out.labels.dtype == ref.labels.dtype  # int8 D2H on both paths
+
+
+def test_sp_replay_harness_integration(mesh8):
+    """ReplayHarness drives the SP pipeline end-to-end (one flag), yielding
+    the same five-topic ScanOutputs as the single-device harness."""
+    from urban_road_filter_tpu.io.replay import ReplayHarness
+
+    cfg = FilterConfig()
+    scans = [alpha_sorted(make_scan(SCENES["two_curbs"](), n_rings=16,
+                                    n_azimuth=384, seed=s))
+             for s in (0, 1)]
+    got_sp, got_sd = [], []
+    ReplayHarness(cfg=cfg, dims=DIMS, azimuth_shard=8,
+                  on_scan=got_sp.append).run(iter(scans))
+    ReplayHarness(cfg=cfg, dims=DIMS,
+                  on_scan=got_sd.append).run(iter(scans))
+    assert len(got_sp) == len(got_sd) == 2
+    for a, b in zip(got_sp, got_sd):
+        assert a.ok and b.ok
+        np.testing.assert_array_equal(a.roi, b.roi)
+        np.testing.assert_array_equal(a.road_probably, b.road_probably)
+        # road/curb clouds: same near-exact label agreement as the
+        # label-level SP tests.
+        assert abs(len(a.road) - len(b.road)) <= max(2, len(b.road) // 500)
+        assert abs(len(a.curb) - len(b.curb)) <= max(2, len(b.curb) // 500)
+        assert a.stats.num_rings == b.stats.num_rings
+
+
+def test_sp_dynamic_config_hot_swap(mesh8):
+    """Swapping continuous params through run(pts, cfg) must take effect;
+    the jit cache key (static half) is unchanged."""
+    cfg = FilterConfig()
+    scan = alpha_sorted(make_scan(SCENES["two_curbs"](), n_rings=16,
+                                  n_azimuth=384, seed=17))
+    pts = jax.numpy.asarray(pad_scan(scan, DIMS.max_points))
+    run = make_azimuth_pipeline(mesh8, cfg, DIMS)
+    a = run(pts)
+    b = run(pts, cfg.replace(max_x=12.0))
+    c = run(pts)
+    assert int(np.asarray(b.roi).sum()) < int(np.asarray(a.roi).sum())
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(c.labels))
 
 
 def test_sp_four_wedges():
@@ -154,5 +221,5 @@ def test_sp_four_wedges():
     pts = jax.numpy.asarray(pad_scan(scan, DIMS.max_points))
     out = make_azimuth_pipeline(mesh, cfg, DIMS)(pts)
     ref = process_scan_jit(pts, cfg, DIMS)
-    agree = np.mean(np.asarray(out["labels"]) == np.asarray(ref.labels))
+    agree = np.mean(np.asarray(out.labels) == np.asarray(ref.labels))
     assert agree >= 0.999

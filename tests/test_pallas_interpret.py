@@ -134,6 +134,76 @@ class TestGroupPlaceInterpret:
         np.testing.assert_array_equal(np.asarray(got[0]), want[0])
 
 
+class TestRankPlaceFusedInterpret:
+    """Fused rank+place kernel (ops/place.py group_rank_place_pallas,
+    round 3): slots, counts AND placed fields must match the split
+    rank -> scatter reference exactly."""
+
+    def _reference(self, ids, vals, g, cap):
+        from urban_road_filter_tpu.ops.rank import _xla_rank
+
+        pos, counts = _xla_rank(jnp.asarray(ids), g + 1)
+        pos = np.asarray(pos)
+        fits = (ids < g) & (pos < cap)
+        outs = []
+        for v in vals:
+            o = np.zeros((g, cap), F32)
+            o[ids[fits], pos[fits]] = v[fits]
+            outs.append(o)
+        return outs, pos, np.asarray(counts)[:g]
+
+    @pytest.mark.parametrize("order", ["firing", "random"])
+    def test_matches_split_reference(self, order):
+        from urban_road_filter_tpu.ops.place import group_rank_place_pallas
+
+        rng = np.random.default_rng(3)
+        n, g, cap = 4096, 24, 256
+        if order == "firing":
+            ids = np.tile(np.arange(g, dtype=I32), n // g + 1)[:n]
+            ids[rng.random(n) < 0.07] = g  # dropped points
+        else:
+            ids = rng.integers(0, g + 1, n).astype(I32)
+        vals = [rng.standard_normal(n).astype(F32) * 100,
+                rng.standard_normal(n).astype(F32),
+                rng.integers(0, 3, n).astype(F32)]
+        want, wpos, wcounts = self._reference(ids, vals, g, cap)
+        res = group_rank_place_pallas(
+            jnp.asarray(ids), [jnp.asarray(v) for v in vals], g, cap,
+            limb_counts=(3, 3, 1), interpret=True)
+        assert res is not None
+        outs, pos, counts = res
+        in_g = ids < g
+        np.testing.assert_array_equal(np.asarray(pos)[in_g], wpos[in_g])
+        np.testing.assert_array_equal(np.asarray(counts), wcounts)
+        for w, o in zip(want, outs):
+            np.testing.assert_array_equal(np.asarray(o), w)
+
+    def test_overflow_and_nan_dropped_points(self):
+        from urban_road_filter_tpu.ops.place import group_rank_place_pallas
+
+        rng = np.random.default_rng(4)
+        n, g, cap = 2048, 4, 128  # crams > cap points into few groups
+        ids = rng.integers(0, g + 1, n).astype(I32)
+        v = rng.standard_normal(n).astype(F32)
+        v[ids >= g] = np.nan  # real PCD NaN returns fail roi -> dropped ids
+        want, wpos, wcounts = self._reference(ids, [v], g, cap)
+        res = group_rank_place_pallas(jnp.asarray(ids), [jnp.asarray(v)],
+                                      g, cap, interpret=True)
+        outs, pos, counts = res
+        assert np.isfinite(np.asarray(outs[0])).all()
+        np.testing.assert_array_equal(np.asarray(outs[0]), want[0])
+        assert (np.asarray(counts) > cap).any()  # overflow case exercised
+        np.testing.assert_array_equal(np.asarray(counts), wcounts)
+
+    def test_too_large_layout_returns_none(self):
+        from urban_road_filter_tpu.ops.place import group_rank_place_pallas
+
+        res = group_rank_place_pallas(
+            jnp.zeros((128,), I32), [jnp.zeros((128,), F32)] * 3,
+            128, 8192, interpret=True)
+        assert res is None  # falls back to the split kernels
+
+
 class TestGatherInterpret:
     @pytest.mark.parametrize("pack", [1, 4])
     def test_matches_fancy_index(self, pack):

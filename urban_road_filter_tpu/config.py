@@ -333,12 +333,14 @@ class PipelineDims:
         if (self.max_points <= 0 or self.rings <= 0
                 or self.ring_capacity <= 0 or self.beam_capacity <= 0):
             raise ValueError("dims must be positive")
-        if self.ring_capacity % 128 != 0:
+        if self.ring_capacity % 64 != 0:
             # TPU lane alignment: the streaming Pallas kernels (flood/marker
-            # scans) block the slot axis in power-of-two lane multiples, and
-            # the azimuth-sharded path divides it across devices.
+            # scans) block the slot axis as gcd(ring_capacity, 1024)-wide
+            # lane tiles — a non-64-multiple capacity would degrade them to
+            # tiny blocks.  (128-multiples are ideal; 64 covers the small
+            # test layouts.)
             raise ValueError(
-                f"ring_capacity={self.ring_capacity} must be a multiple of 128")
+                f"ring_capacity={self.ring_capacity} must be a multiple of 64")
 
     @classmethod
     def for_sensor(cls, kind: str) -> "PipelineDims":

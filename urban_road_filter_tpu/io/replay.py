@@ -89,16 +89,38 @@ class ReplayHarness:
                  rate_hz: float = 0.0,
                  drop_when_behind: bool = True,
                  checkpoint_path: Optional[str] = None,
-                 on_scan: Optional[Callable[[ScanOutputs], None]] = None):
+                 on_scan: Optional[Callable[[ScanOutputs], None]] = None,
+                 azimuth_shard: int = 0):
         self.cfg = cfg or FilterConfig()
         self.dims = dims or PipelineDims()
         self.rate_hz = rate_hz
         self.drop_when_behind = drop_when_behind
         self.checkpoint_path = checkpoint_path
         self.on_scan = on_scan
+        # azimuth_shard > 1: run each scan azimuth-sharded over that many
+        # devices (the 128-beam multi-LiDAR SP mode; same five-topic
+        # ScanOutputs — parallel.azimuth_parallel returns the full
+        # ScanResult surface).
+        self.azimuth_shard = int(azimuth_shard)
+        self._sp_run = None
         self.metrics = StreamMetrics()
         self.tracker = MarkerTracker()
         self._seq = 0
+
+    def _process(self, dev_scan):
+        from urban_road_filter_tpu.pipeline import process_scan_jit
+
+        if self.azimuth_shard > 1:
+            if self._sp_run is None:
+                from urban_road_filter_tpu.parallel.azimuth_parallel import (
+                    make_azimuth_pipeline)
+                from urban_road_filter_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(n_data=1, n_azimuth=self.azimuth_shard)
+                self._sp_run = make_azimuth_pipeline(mesh, self.cfg,
+                                                     self.dims)
+            return self._sp_run(dev_scan, self.cfg)
+        return process_scan_jit(dev_scan, self.cfg, self.dims)
 
     # ---- checkpoint / resume ----
     def _save_checkpoint(self) -> None:
@@ -153,8 +175,6 @@ class ReplayHarness:
             max_scans: Optional[int] = None) -> StreamMetrics:
         import jax
 
-        from urban_road_filter_tpu.pipeline import process_scan_jit
-
         # Warm the device transfer path: on tunneled dev backends (axon) the
         # FIRST device->host transfer of a process can take minutes; absorb
         # it here instead of inside the first scan's latency.
@@ -182,7 +202,7 @@ class ReplayHarness:
             err = None
             out = None
             try:
-                out = process_scan_jit(dev, self.cfg, self.dims)
+                out = self._process(dev)
             except Exception as e:  # noqa: BLE001 — per-scan isolation
                 err = e
 
@@ -290,6 +310,9 @@ def main() -> None:
                     help="replay rate; 0 = as fast as possible")
     ap.add_argument("--no-drop", action="store_true",
                     help="lossless mode instead of queue-1 drop semantics")
+    ap.add_argument("--azimuth-shard", type=int, default=0,
+                    help="shard each scan over this many devices by azimuth "
+                         "(sequence-parallel mode; must divide 360)")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--config-json", default=None)
     ap.add_argument("--config", default=None,
@@ -334,7 +357,8 @@ def main() -> None:
 
     h = ReplayHarness(cfg=cfg, rate_hz=args.rate_hz,
                       drop_when_behind=not args.no_drop,
-                      checkpoint_path=args.checkpoint, on_scan=sink)
+                      checkpoint_path=args.checkpoint, on_scan=sink,
+                      azimuth_shard=args.azimuth_shard)
     metrics = h.run(source, max_scans=args.scans)
     print(json.dumps(metrics.summary()))
 

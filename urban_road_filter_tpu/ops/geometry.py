@@ -143,15 +143,6 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
     p = ring_capacity
     iota = jnp.arange(n, dtype=I32)
 
-    # Slot of each point = # earlier points in the same ring — computed by
-    # the sequential-grid Pallas ranking kernel (ops/rank.py): one read +
-    # one write per point, vs ~100 GB of bitonic-sort traffic at 131k pts.
-    pos, counts_all = group_positions(ring_id, rings + 1)
-
-    in_ring = ring_id < rings
-    counts = jnp.minimum(counts_all[:rings], p)
-    overflow = jnp.sum(in_ring & (pos >= p)).astype(I32)
-
     fields = [x, y, z]
     limbs = [3, 3, 3]
     if label is not None:
@@ -161,7 +152,37 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
         fields.append(iota + 1)  # +1 so empty slots (0) decode to -1
         limbs.append(3)
 
-    if jax.default_backend() in ("tpu", "axon"):
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        # FUSED rank+place (ops/place.py, round 3): one Pallas pass assigns
+        # slots and accumulates the MXU one-hot products — the separate
+        # ranking kernel cost 25.3 ms/step at b128 recomputing the same
+        # group one-hot.  Returns None for layouts whose resident output
+        # exceeds VMEM; those fall through to the split kernels.
+        from urban_road_filter_tpu.ops.place import group_rank_place_pallas
+
+        fused = group_rank_place_pallas(ring_id, fields, rings, p,
+                                        limb_counts=tuple(limbs))
+        if fused is not None:
+            outs, pos, counts_all = fused
+            in_ring = ring_id < rings
+            counts = jnp.minimum(counts_all, p)
+            overflow = jnp.sum(in_ring & (pos >= p)).astype(I32)
+            outs = [o.astype(I32) if i >= 3 else o
+                    for i, o in enumerate(outs)]
+            return _assemble_layout(outs, label, with_pid, rings, p,
+                                    counts, overflow), pos
+
+    # Slot of each point = # earlier points in the same ring — computed by
+    # the sequential-grid Pallas ranking kernel (ops/rank.py): one read +
+    # one write per point, vs ~100 GB of bitonic-sort traffic at 131k pts.
+    pos, counts_all = group_positions(ring_id, rings + 1)
+
+    in_ring = ring_id < rings
+    counts = jnp.minimum(counts_all[:rings], p)
+    overflow = jnp.sum(in_ring & (pos >= p)).astype(I32)
+
+    if on_tpu:
         # MXU matmul placement (ops/place.py): XLA's element-scatter runs
         # ~0.6 GB/s on TPU; one-hot matmul accumulation into a VMEM-resident
         # layout places every field in a fraction of the time.
@@ -186,6 +207,12 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
         if with_pid:
             outs.append(scatter(iota + 1, 0, I32))
 
+    return _assemble_layout(outs, label, with_pid, rings, p, counts,
+                            overflow), pos
+
+
+def _assemble_layout(outs, label, with_pid: bool, rings: int, p: int,
+                     counts, overflow) -> RingLayout:
     lx, ly, lz = outs[0], outs[1], outs[2]
     k = 3
     if label is not None:
@@ -199,10 +226,9 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
     # layout instead of paying two more placements.  Padding slots (x=y=0)
     # get alpha=NaN, which every consumer already masks via counts/a_ok.
     ld2, lalpha = azimuth_2d(lx, ly)
-    layout = RingLayout(
+    return RingLayout(
         x=lx, y=ly, z=lz, d2=ld2, alpha=lalpha,
         label=lbl_i, pid=pid_i, counts=counts, overflow=overflow)
-    return layout, pos
 
 
 def max_distance(layout: RingLayout) -> jax.Array:

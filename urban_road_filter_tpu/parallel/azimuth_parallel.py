@@ -214,20 +214,32 @@ def _extend_with_halo(layout: geometry.RingLayout, left, right, cp: int):
 
 
 def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
-    """Returns run(pts (N, 4)) -> dict for ONE scan sharded by azimuth.
+    """Returns run(pts (N, 4), cfg=None) -> ScanResult for ONE scan sharded
+    by azimuth — the FULL five-topic surface (ok, roi, labels, ring_id,
+    counts, max_distance, markers, overflow, probably_road), per original
+    input point and replicated, so ReplayHarness can publish the same
+    outputs as the single-device path (VERDICT r2 item 5).
 
-    Output labels are per original input point, replicated."""
+    Passing a new ``cfg`` per call hot-swaps the dynamic half without
+    re-trace (same machinery as pipeline.process_scan_jit); a changed
+    static half re-traces."""
+    from urban_road_filter_tpu.pipeline import ScanResult
+
     n_wedges = mesh.shape[AX]
     if 360 % n_wedges != 0:
         raise ValueError(f"azimuth axis size {n_wedges} must divide 360 "
                          "(star beams may not straddle wedges)")
     n = dims.max_points
     per_wedge = n // n_wedges
-    cp = int(cfg.curb_points)
+    static0, dyn0 = cfg.split()
+    dyn_specs = jax.tree_util.tree_map(lambda _: P(), dyn0)
 
-    def wedge_fn(pts_w, idx_w):
+    def wedge_fn(static_cfg, pts_w, idx_w, dyn):
         """Runs on one device: pts_w (per_wedge, 4) already wedge-partitioned,
-        idx_w original indices (per_wedge,)."""
+        idx_w original indices (per_wedge,).  dyn is the replicated dynamic
+        config pytree (shard_map cannot close over tracers)."""
+        cfg = static_cfg.merge(dyn)
+        cp = int(cfg.curb_points)
         me = jax.lax.axis_index(AX)
         x, y, z = pts_w[:, 0], pts_w[:, 1], pts_w[:, 2]
         valid = geometry.roi_mask(pts_w, cfg) & (idx_w >= 0)
@@ -292,32 +304,53 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
         local_scatter = jnp.zeros((n + 1,), I32).at[orig].set(
             jnp.where(ok_slot, lbl, 0))[:n]
         labels_global = jax.lax.psum(local_scatter, AX)
+
+        # --- full ScanResult surface: per-point roi / ring id (each original
+        # point lives in exactly one wedge slot, so one scatter + psum),
+        # global per-ring counts, wedge-capacity overflow ---
+        dst = jnp.where(valid, idx_w, n)
+        roi_global = jax.lax.psum(
+            jnp.zeros((n + 1,), I32).at[dst].set(valid.astype(I32))[:n],
+            AX) > 0
+        ring_global = jax.lax.psum(
+            jnp.zeros((n + 1,), I32).at[dst].set(
+                jnp.where(valid, ring_id, 0))[:n], AX)
+        ring_global = jnp.where(roi_global, ring_global, I32(dims.rings))
+        counts_global = jax.lax.psum(layout.counts, AX)
+        overflow = jax.lax.psum(layout.overflow, AX)
+
         gate = ok
         return dict(
             ok=ok, labels=jnp.where(gate, labels_global, 0),
+            roi=roi_global & gate,
+            ring_id=ring_global,
             num_rings=num_rings,
+            counts=counts_global,
+            max_distance=max_dist,
             markers=jnp.where(gate, markers, jnp.zeros_like(markers)),
+            overflow=overflow,
+            probably_road=((ring_global == int(cfg.probably_road_ring))
+                           & gate),
             piece=piece)
 
     spec_pts = P(AX, None)
     spec_idx = P(AX)
-    wedge_out_spec = dict(ok=P(), labels=P(), num_rings=P(), markers=P(),
+    wedge_out_spec = dict(ok=P(), labels=P(), roi=P(), ring_id=P(),
+                          num_rings=P(), counts=P(), max_distance=P(),
+                          markers=P(), overflow=P(), probably_road=P(),
                           piece=P())
-    # The jitted wrapper adds `overflow`: points dropped by the per-wedge
-    # capacity (ADVICE r1: skewed azimuth density makes this reachable; the
-    # single-device path surfaces ScanResult.overflow, so must SP).
-    out_spec = dict(wedge_out_spec, overflow=P())
-    sharded = shard_map(wedge_fn, mesh=mesh,
-                        in_specs=(spec_pts, spec_idx),
-                        out_specs=wedge_out_spec, check_vma=False)
 
-    @functools.partial(jax.jit,
-                       out_shardings=jax.tree_util.tree_map(
-                           lambda s: NamedSharding(mesh, s), out_spec))
-    def run(pts):
+    @functools.partial(jax.jit, static_argnums=(2,),
+                       out_shardings=NamedSharding(mesh, P()))
+    def _run(pts, dyn, static_cfg):
+        rcfg = static_cfg.merge(dyn)
+        sharded = shard_map(functools.partial(wedge_fn, static_cfg),
+                            mesh=mesh, in_specs=(spec_pts, spec_idx,
+                                                 dyn_specs),
+                            out_specs=wedge_out_spec, check_vma=False)
         # Partition points into contiguous azimuth wedges (device-side
         # pre-pass; XLA inserts the all_to_all on the resharding).
-        valid = geometry.roi_mask(pts, cfg)
+        valid = geometry.roi_mask(pts, rcfg)
         w = jnp.where(valid, _wedge_of(pts[:, 0], pts[:, 1], n_wedges),
                       n_wedges)
         iota = jnp.arange(n, dtype=I32)
@@ -327,8 +360,10 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
                                   jnp.cumsum(counts)[:-1].astype(I32)])
         pos = iota - starts[w[order]]
         fits = (w[order] < n_wedges) & (pos < per_wedge)
-        overflow = jnp.sum((w[order] < n_wedges) & (pos >= per_wedge)
-                           ).astype(I32)
+        # Points dropped by per-wedge capacity (ADVICE r1: skewed azimuth
+        # density makes this reachable; counted like ScanResult.overflow).
+        part_overflow = jnp.sum((w[order] < n_wedges) & (pos >= per_wedge)
+                                ).astype(I32)
         dst = jnp.where(fits, w[order] * I32(per_wedge) + pos,
                         I32(n_wedges * per_wedge))
         pts_w = jnp.zeros((n_wedges * per_wedge + 1, 4), F32).at[dst].set(
@@ -339,7 +374,23 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims):
             pts_w, NamedSharding(mesh, P(AX, None)))
         idx_w = jax.lax.with_sharding_constraint(
             idx_w, NamedSharding(mesh, P(AX)))
-        return dict(sharded(pts_w, idx_w), overflow=overflow)
+        res = sharded(pts_w, idx_w, dyn)
+        return ScanResult(
+            ok=res["ok"],
+            roi=res["roi"],
+            labels=res["labels"].astype(jnp.int8),
+            ring_id=res["ring_id"],
+            num_rings=res["num_rings"],
+            counts=res["counts"],
+            max_distance=res["max_distance"],
+            markers=res["markers"],
+            overflow=part_overflow + res["overflow"],
+            star_overflow=jnp.asarray(0, I32),
+            probably_road=res["probably_road"])
+
+    def run(pts, cfg_now: FilterConfig = None):
+        st, dyn = (static0, dyn0) if cfg_now is None else cfg_now.split()
+        return _run(pts, dyn, st)
 
     return run
 
