@@ -5,6 +5,8 @@ import jax
 import numpy as np
 import pytest
 
+from conftest import assert_marker_rows
+
 from urban_road_filter_tpu.config import FilterConfig, PipelineDims
 from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
 from urban_road_filter_tpu.oracle.reference import azimuth_2d as azimuth_np
@@ -47,8 +49,10 @@ def test_sp_matches_single_device(scene, mesh8):
 
     m_sp = np.asarray(out.markers)
     m_ref = np.asarray(ref.markers)
-    same = np.all(np.abs(m_sp - m_ref) < 1e-4, axis=1)
-    assert np.mean(same) >= 0.97, f"{scene}: marker rows {np.mean(same):.3f}"
+    # Every NON-boundary row exact (cross-graph 1-2 ulp arcsin flips are
+    # near-boundary by construction; anything else is a bug — VERDICT r2
+    # item 8).  Columns: [exists, x, y, z, red, bin] -> rows are [x,y,z].
+    assert_marker_rows(m_sp[:, 1:4], m_ref[:, 1:4], f"{scene} SP markers")
 
 
 def test_sp_flood_pallas_wiring_matches_xla(mesh8):
@@ -76,8 +80,7 @@ def test_sp_flood_pallas_wiring_matches_xla(mesh8):
     assert lab >= 0.999, f"SP pallas-vs-xla labels {lab:.5f}"
     mw = np.asarray(want.markers)
     mg = np.asarray(got.markers)
-    same = np.all(np.abs(mg - mw) < 1e-4, axis=1)
-    assert np.mean(same) >= 0.97, f"marker rows differ: {np.mean(same):.3f}"
+    assert_marker_rows(mg[:, 1:4], mw[:, 1:4], "SP pallas-vs-xla markers")
 
 
 def test_sp_overflow_counter_surfaced(mesh8):

@@ -134,76 +134,6 @@ class TestGroupPlaceInterpret:
         np.testing.assert_array_equal(np.asarray(got[0]), want[0])
 
 
-class TestRankPlaceFusedInterpret:
-    """Fused rank+place kernel (ops/place.py group_rank_place_pallas,
-    round 3): slots, counts AND placed fields must match the split
-    rank -> scatter reference exactly."""
-
-    def _reference(self, ids, vals, g, cap):
-        from urban_road_filter_tpu.ops.rank import _xla_rank
-
-        pos, counts = _xla_rank(jnp.asarray(ids), g + 1)
-        pos = np.asarray(pos)
-        fits = (ids < g) & (pos < cap)
-        outs = []
-        for v in vals:
-            o = np.zeros((g, cap), F32)
-            o[ids[fits], pos[fits]] = v[fits]
-            outs.append(o)
-        return outs, pos, np.asarray(counts)[:g]
-
-    @pytest.mark.parametrize("order", ["firing", "random"])
-    def test_matches_split_reference(self, order):
-        from urban_road_filter_tpu.ops.place import group_rank_place_pallas
-
-        rng = np.random.default_rng(3)
-        n, g, cap = 4096, 24, 256
-        if order == "firing":
-            ids = np.tile(np.arange(g, dtype=I32), n // g + 1)[:n]
-            ids[rng.random(n) < 0.07] = g  # dropped points
-        else:
-            ids = rng.integers(0, g + 1, n).astype(I32)
-        vals = [rng.standard_normal(n).astype(F32) * 100,
-                rng.standard_normal(n).astype(F32),
-                rng.integers(0, 3, n).astype(F32)]
-        want, wpos, wcounts = self._reference(ids, vals, g, cap)
-        res = group_rank_place_pallas(
-            jnp.asarray(ids), [jnp.asarray(v) for v in vals], g, cap,
-            limb_counts=(3, 3, 1), interpret=True)
-        assert res is not None
-        outs, pos, counts = res
-        in_g = ids < g
-        np.testing.assert_array_equal(np.asarray(pos)[in_g], wpos[in_g])
-        np.testing.assert_array_equal(np.asarray(counts), wcounts)
-        for w, o in zip(want, outs):
-            np.testing.assert_array_equal(np.asarray(o), w)
-
-    def test_overflow_and_nan_dropped_points(self):
-        from urban_road_filter_tpu.ops.place import group_rank_place_pallas
-
-        rng = np.random.default_rng(4)
-        n, g, cap = 2048, 4, 128  # crams > cap points into few groups
-        ids = rng.integers(0, g + 1, n).astype(I32)
-        v = rng.standard_normal(n).astype(F32)
-        v[ids >= g] = np.nan  # real PCD NaN returns fail roi -> dropped ids
-        want, wpos, wcounts = self._reference(ids, [v], g, cap)
-        res = group_rank_place_pallas(jnp.asarray(ids), [jnp.asarray(v)],
-                                      g, cap, interpret=True)
-        outs, pos, counts = res
-        assert np.isfinite(np.asarray(outs[0])).all()
-        np.testing.assert_array_equal(np.asarray(outs[0]), want[0])
-        assert (np.asarray(counts) > cap).any()  # overflow case exercised
-        np.testing.assert_array_equal(np.asarray(counts), wcounts)
-
-    def test_too_large_layout_returns_none(self):
-        from urban_road_filter_tpu.ops.place import group_rank_place_pallas
-
-        res = group_rank_place_pallas(
-            jnp.zeros((128,), I32), [jnp.zeros((128,), F32)] * 3,
-            128, 8192, interpret=True)
-        assert res is None  # falls back to the split kernels
-
-
 class TestGatherInterpret:
     @pytest.mark.parametrize("pack", [1, 4])
     def test_matches_fancy_index(self, pack):
@@ -365,6 +295,95 @@ class TestMarkerScanInterpret:
         assert want[:, 0].sum() > 10  # scene produces real markers
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("scene,seed", [("two_curbs", 0), ("blind_spot", 4),
+                                            ("curb_gap", 7)])
+    def test_unsorted_path_matches_sorted(self, scene, seed):
+        """The sort-free marker path (round 3): lexicographic
+        (ring, alpha, slot) keys over the UNSORTED layout must equal the
+        sorted-layout reference bit-for-bit (stable sort == key order)."""
+        from urban_road_filter_tpu.config import FilterConfig
+        from urban_road_filter_tpu.ops.blind_spots import blind_spots
+        from urban_road_filter_tpu.ops.marker_scan import (
+            marker_points_unsorted_pallas)
+        from urban_road_filter_tpu.ops.markers import marker_points
+        from urban_road_filter_tpu.ops.star import star_shaped
+
+        cfg = FilterConfig()
+        pts = make_scan(SCENES[scene](), n_rings=16, n_azimuth=512, seed=seed)
+        pts = jnp.asarray(pts[:8192, :4].astype(F32))
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        valid = geometry.roi_mask(pts, cfg)
+        labels0, _ = star_shaped(pts, valid, jnp.zeros(len(pts), jnp.int32),
+                                 cfg, 0)
+        _, av = geometry.vertical_angles(x, y, z)
+        angles, nr = geometry.discover_rings(av, valid, cfg.interval)
+        ring_id = geometry.assign_rings(av, valid, angles, cfg.interval)
+        layout, _ = geometry.tensorize(x, y, z, ring_id, 512, label=labels0)
+        layout = blind_spots(layout, geometry.max_distance(layout), nr, cfg)
+
+        want = np.asarray(marker_points(geometry.sort_by_azimuth(layout), nr))
+        got = np.asarray(marker_points_unsorted_pallas(layout, nr,
+                                                       interpret=True))
+        assert want[:, 0].sum() > 10
+        np.testing.assert_array_equal(got, want)
+
+    def test_unsorted_path_duplicate_distance_tie(self):
+        """Two road points in one bin/ring at the SAME distance: the winner
+        must be the earlier one in (alpha, slot) order (the reference's
+        strict-> update keeps the first traversal hit)."""
+        from urban_road_filter_tpu.ops.geometry import RingLayout
+        from urban_road_filter_tpu.ops.marker_scan import (
+            marker_points_unsorted_pallas)
+        from urban_road_filter_tpu.ops.markers import marker_points
+
+        r, p = 8, 128
+        x = np.zeros((r, p), np.float32)
+        y = np.zeros((r, p), np.float32)
+        z = np.zeros((r, p), np.float32)
+        lbl = np.zeros((r, p), np.int32)
+        # Ring 0: slots 0..3 in bin 10; slots 1 and 3 both at radius 5
+        # (identical d), slot 1 has LARGER alpha than slot 3 -> winner is
+        # slot 3 (smaller alpha; traversal is azimuth order, not slot).
+        for s, (deg, rad) in enumerate([(10.2, 3.0), (10.8, 5.0),
+                                        (10.4, 4.0), (10.5, 5.0)]):
+            x[0, s] = rad * np.cos(np.radians(90 - deg))
+            y[0, s] = -rad * np.sin(np.radians(90 - deg))
+            lbl[0, s] = 1
+        counts = np.zeros((r,), np.int32)
+        counts[0] = 4
+        from urban_road_filter_tpu.ops.geometry import azimuth_2d
+
+        d2, alpha = azimuth_2d(jnp.asarray(x), jnp.asarray(y))
+        lay = RingLayout(x=jnp.asarray(x), y=jnp.asarray(y), z=jnp.asarray(z),
+                         d2=d2, alpha=alpha, label=jnp.asarray(lbl),
+                         pid=jnp.full((r, p), -1, jnp.int32),
+                         counts=jnp.asarray(counts),
+                         overflow=jnp.asarray(0, jnp.int32))
+        want = np.asarray(marker_points(geometry.sort_by_azimuth(lay),
+                                        jnp.asarray(1)))
+        got = np.asarray(marker_points_unsorted_pallas(lay, jnp.asarray(1),
+                                                       interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_unsorted_path_empty(self):
+        from urban_road_filter_tpu.ops.geometry import RingLayout
+        from urban_road_filter_tpu.ops.marker_scan import (
+            marker_points_unsorted_pallas)
+        from urban_road_filter_tpu.ops.markers import marker_points
+
+        r, p = 8, 512
+        zero = jnp.zeros((r, p), jnp.float32)
+        lay = RingLayout(x=zero, y=zero, z=zero, d2=zero,
+                         alpha=jnp.full((r, p), jnp.nan),
+                         label=jnp.zeros((r, p), jnp.int32),
+                         pid=jnp.full((r, p), -1, jnp.int32),
+                         counts=jnp.zeros((r,), jnp.int32),
+                         overflow=jnp.asarray(0, jnp.int32))
+        want = np.asarray(marker_points(lay, jnp.asarray(0)))
+        got = np.asarray(marker_points_unsorted_pallas(lay, jnp.asarray(0),
+                                                       interpret=True))
+        np.testing.assert_array_equal(got, want)
+
     def test_empty_scan(self):
         from urban_road_filter_tpu.ops.marker_scan import marker_points_pallas
         from urban_road_filter_tpu.ops.markers import marker_points
@@ -452,6 +471,75 @@ class TestFloodScanInterpret:
         reaches = self._check(layout, nr, cfg)
         # The scene must actually exercise both sweeps.
         assert bool(jnp.any(reaches[+1])) and bool(jnp.any(reaches[-1]))
+
+    @pytest.mark.parametrize("scene,seed", [("two_curbs", 0),
+                                            ("blind_spot", 4)])
+    def test_fused_labeled_markerf(self, scene, seed):
+        """labeled_markerf_pallas == labeled_pallas road mask AND the
+        separate marker pass-1 state on the POST-flood labels (round 3:
+        marker pass 1 rides inside the flood's labeled kernel)."""
+        from urban_road_filter_tpu.constants import LABEL_CURB, LABEL_ROAD
+        from urban_road_filter_tpu.ops.blind_spots import (
+            sweep_bounds, window_widths)
+        from urban_road_filter_tpu.ops.flood_scan import (
+            blocked_pallas, labeled_markerf_pallas, labeled_pallas)
+        from urban_road_filter_tpu.ops.marker_scan import (
+            _BPAD, _marker_f_kernel)
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        layout, nr, cfg = self._layout(scene, seed, 30.0)
+        w = window_widths(geometry.max_distance(layout), cfg.beam_zone)
+        rings = layout.alpha.shape[0]
+        ring_iota = jnp.arange(rings, dtype=jnp.int32)
+        ring_active = (ring_iota < nr)[:, None]
+
+        bf, bb = blocked_pallas(layout, w, cfg.beam_zone, interpret=True)
+
+        def reach_of(blocked, direction):
+            active, _, _ = sweep_bounds(w, cfg.beam_zone, direction)
+            first = jnp.min(jnp.where(blocked & ring_active,
+                                      ring_iota[:, None], rings), axis=0)
+            return ((ring_iota[:, None] < first[None, :])
+                    & active[None, :] & ring_active)
+
+        rf, rb = reach_of(bf, +1), reach_of(bb, -1)
+        want_road = labeled_pallas(layout, rf, rb, w, cfg.beam_zone,
+                                   interpret=True)
+        got_road, got_kf = labeled_markerf_pallas(layout, rf, rb, w,
+                                                  cfg.beam_zone,
+                                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_road),
+                                      np.asarray(want_road))
+
+        # Reference kf: the standalone pass-1 kernel on post-flood labels.
+        post = jnp.where(jnp.asarray(want_road)
+                         & (layout.label != LABEL_CURB),
+                         LABEL_ROAD, layout.label)
+        lay2 = layout._replace(label=post)
+        r, p = lay2.alpha.shape
+        counts = lay2.counts.astype(jnp.int32).reshape(1, r)
+        nring = jnp.full((1, 1), nr, jnp.int32)
+        blk3 = lambda a: a.reshape(r, 1, p)
+        want_kf = pl.pallas_call(
+            functools.partial(_marker_f_kernel, blocks_per_ring=1, blk_w=p),
+            grid=(r,),
+            in_specs=[pl.BlockSpec((1, r), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0)),
+                      pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((_BPAD, 8), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((_BPAD, 8), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((_BPAD, 8), jnp.float32)],
+            interpret=True,
+        )(counts, nring, blk3(lay2.alpha),
+          blk3(lay2.label.astype(jnp.float32)))
+        np.testing.assert_array_equal(np.asarray(got_kf)[:, :3],
+                                      np.asarray(want_kf)[:, :3])
 
     def test_nan_azimuth_and_empty_rings(self):
         # x = y = 0 points (NaN azimuth) must neither block nor be labeled;

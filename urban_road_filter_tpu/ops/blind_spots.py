@@ -125,12 +125,16 @@ def labeled_mask(alpha, a_ok, reach, lo, hi):
 
 
 def blind_spots(layout: RingLayout, max_dist: jax.Array, num_rings: jax.Array,
-                cfg: FilterConfig) -> RingLayout:
+                cfg: FilterConfig, want_marker_f: bool = False):
     """Order-free: every window test compares a slot's own azimuth against
     per-(ring, start) bounds and every reduction is over slot sets, so the
     layout may be in raw tensorize order (round 2: the azimuth sort now
     feeds only the marker stage).  On TPU the two dense existential cubes
-    run as window-skipping Pallas passes (ops/flood_scan.py, bit-equal)."""
+    run as window-skipping Pallas passes (ops/flood_scan.py, bit-equal).
+
+    want_marker_f=True (TPU only) additionally returns the marker stage's
+    per-bin non-road key state, computed inside the fused labeled pass
+    (flood_scan.labeled_markerf_pallas): returns (layout, kf)."""
     alpha, label, counts = layout.alpha, layout.label, layout.counts
     p = alpha.shape[1]
     slot = jnp.arange(p)[None, :]
@@ -160,13 +164,19 @@ def blind_spots(layout: RingLayout, max_dist: jax.Array, num_rings: jax.Array,
         return ((ring_iota[:, None] < first_blocked[None, :])
                 & ok[None, :] & ring_active)
 
+    kf = None
     if jax.default_backend() in ("tpu", "axon"):
         from urban_road_filter_tpu.ops.flood_scan import (
-            blocked_pallas, labeled_pallas)
+            blocked_pallas, labeled_markerf_pallas, labeled_pallas)
 
         blocked_f, blocked_b = blocked_pallas(layout, w, cfg.beam_zone)
-        road = labeled_pallas(layout, reach_of(blocked_f, +1),
-                              reach_of(blocked_b, -1), w, cfg.beam_zone)
+        if want_marker_f:
+            road, kf = labeled_markerf_pallas(
+                layout, reach_of(blocked_f, +1), reach_of(blocked_b, -1),
+                w, cfg.beam_zone)
+        else:
+            road = labeled_pallas(layout, reach_of(blocked_f, +1),
+                                  reach_of(blocked_b, -1), w, cfg.beam_zone)
     else:
         curb = slot_valid & (label == LABEL_CURB)
         a_ok = (slot_valid & jnp.isfinite(alpha) & (alpha >= 0)
@@ -180,4 +190,7 @@ def blind_spots(layout: RingLayout, max_dist: jax.Array, num_rings: jax.Array,
 
         road = sweep(+1) | sweep(-1)
     new_label = jnp.where(road & (label != LABEL_CURB), LABEL_ROAD, label)
-    return layout._replace(label=new_label)
+    out = layout._replace(label=new_label)
+    if want_marker_f:
+        return out, kf
+    return out

@@ -242,6 +242,173 @@ def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
     out_ref[0] = jnp.where(a_ok, out_ref[0], F32(0))
 
 
+def _labeled_markerf_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
+                            label_ref, out_ref, kf_ref, state, *,
+                            blocks_per_ring: int, blk_w: int, r: int):
+    """labeled + marker pass 1 FUSED (round 3): the road mask this kernel
+    computes per block determines exactly which slots are NON-ROAD after
+    the flood fill, so the sort-free marker path's per-bin lexicographic
+    (ring, alpha, slot) non-road minimum (ops/marker_scan._marker_f_kernel)
+    folds into the same streaming pass — one fewer kernel and one fewer
+    read of the alpha stream (the separate pass cost 13.8 ms/step at b128,
+    device trace r3)."""
+    step = pl.program_id(0)
+    ring = step // blocks_per_ring
+    blk = step % blocks_per_ring
+
+    @pl.when(step == 0)
+    def _():
+        state[...] = jnp.full((_SPAD, 8), 3.0e38, F32)
+
+    slot0 = blk * blk_w
+    slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
+    valid = slot < counts_ref[0, ring]
+
+    alpha = alpha_ref[0]  # (1, W)
+    a_ok = valid & (alpha >= 0) & (alpha <= F32(360))  # NaN/inf excluded
+
+    amn = jnp.min(jnp.where(a_ok, alpha, F32(_BIG)))
+    amx = jnp.max(jnp.where(a_ok, alpha, F32(-_BIG)))
+
+    w = w_ref[0, ring]
+    ring_ge1 = ring >= 1
+    bz = bz_ref[0, 0]
+    sp_f = F32(360) - bz
+    sp_b = bz
+
+    lane = jax.lax.broadcasted_iota(I32, (_SPAD, 2 * r), 1)
+    tbl = reach_ref[...]
+    reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
+                      keepdims=True)  # (SPAD, 1)
+    reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)), axis=1,
+                      keepdims=True)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    for win in range(_NWIN):
+        s0 = F32(win * _WIN)
+        s1 = F32(win * _WIN + _WIN - 1)
+        i_col = _win_starts(win)
+
+        act_f = ((s0 <= amx) & (s1 + w >= amn)) | (
+            (s0 <= sp_f) & (sp_f <= s1) & (sp_f <= amx))
+
+        @pl.when(act_f)
+        def _(win=win, i_col=i_col):
+            reach = reach_f[win * _WIN:(win + 1) * _WIN, 0:1]
+            hi = jnp.where((i_col == sp_f) & ring_ge1, F32(360),
+                           i_col + w)
+            cond = (reach > 0) & (alpha >= i_col) & (alpha <= hi)
+            got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
+                          keepdims=True)
+            out_ref[0] = jnp.maximum(out_ref[0], got)
+
+        act_b = ((s1 >= amn) & (s0 <= amx + w)) | (
+            (s0 <= sp_b) & (sp_b <= s1) & (sp_b >= amn))
+
+        @pl.when(act_b)
+        def _(win=win, i_col=i_col):
+            reach = reach_b[win * _WIN:(win + 1) * _WIN, 0:1]
+            lo = jnp.where((i_col == sp_b) & ring_ge1, F32(0),
+                           i_col - w)
+            cond = (reach > 0) & (alpha >= lo) & (alpha <= i_col)
+            got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
+                          keepdims=True)
+            out_ref[0] = jnp.maximum(out_ref[0], got)
+
+    # Padding / invalid-azimuth slots never take a label.
+    out_ref[0] = jnp.where(a_ok, out_ref[0], F32(0))
+
+    # ---- marker pass 1 on the block's FINAL road state ----
+    # Post-flood label == ROAD  <=>  road mask & pre-label != CURB (the
+    # sweeps are the only road writer; pre-labels are {0, CURB}).
+    label = label_ref[0]
+    road_fin = (out_ref[0] > 0) & (label != F32(LABEL_CURB))
+    nonroad = a_ok & ~road_fin
+    binf = jnp.where(nonroad, jnp.floor(alpha), F32(-1.0))
+    bmn2 = jnp.min(jnp.where(nonroad, binf, F32(_BIG)))
+    bmx2 = jnp.max(jnp.where(nonroad, binf, F32(-1.0)))
+    ring_f = F32(1) * ring  # keys < 2^24: f32-exact
+    slot_f = slot.astype(F32)
+
+    for win in range(_NWIN):
+        lo = F32(win * _WIN)
+
+        @pl.when((bmx2 >= lo) & (bmn2 < lo + _WIN))
+        def _(win=win, lo=lo):
+            bins = lo + jax.lax.broadcasted_iota(
+                I32, (_WIN, blk_w), 0).astype(F32)
+            nr = (bins == binf) & nonroad  # (WIN, W)
+            a_min = jnp.min(jnp.where(nr, alpha, F32(_BIG)), axis=1,
+                            keepdims=True)
+            s_min = jnp.min(jnp.where(nr & (alpha == a_min), slot_f,
+                                      F32(_BIG)), axis=1, keepdims=True)
+            st = state[pl.ds(win * _WIN, _WIN), :]
+            kf_r, kf_a, kf_s = st[:, 0:1], st[:, 1:2], st[:, 2:3]
+            has = a_min < F32(_BIG)
+            better = has & ((ring_f < kf_r) | (
+                (ring_f == kf_r) & ((a_min < kf_a) | (
+                    (a_min == kf_a) & (s_min < kf_s)))))
+            new = jnp.concatenate([
+                jnp.where(better, ring_f, kf_r),
+                jnp.where(better, a_min, kf_a),
+                jnp.where(better, s_min, kf_s),
+                st[:, 3:8],
+            ], axis=1)
+            state[pl.ds(win * _WIN, _WIN), :] = new
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        kf_ref[...] = state[...]
+
+
+def labeled_markerf_pallas(layout, reach_f, reach_b, w, bz,
+                           interpret: bool = False):
+    """(road_mask (R, P) bool, kf (384, 8) f32): the flood labeled mask AND
+    the marker stage's per-bin non-road key minimum in one streaming pass
+    (see _labeled_markerf_kernel).  kf feeds
+    ops.marker_scan.marker_points_unsorted_pallas(..., kf=kf)."""
+    r, p = layout.alpha.shape
+    blk_w = math.gcd(p, 1024)
+    blocks_per_ring = p // blk_w
+
+    counts = layout.counts.astype(I32).reshape(1, r)
+    w2 = w.astype(F32).reshape(1, r)
+    reach = jnp.concatenate([reach_f.astype(F32), reach_b.astype(F32)],
+                            axis=0)
+    reach = jnp.pad(reach, ((0, 0), (0, _SPAD - reach.shape[1]))).T
+
+    def blk3(a):
+        return a.reshape(r * blocks_per_ring, 1, blk_w)
+
+    bzs = jnp.asarray(bz, F32).reshape(1, 1)
+    out, kf = pl.pallas_call(
+        functools.partial(_labeled_markerf_kernel,
+                          blocks_per_ring=blocks_per_ring, blk_w=blk_w, r=r),
+        grid=(r * blocks_per_ring,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # beam zone
+            pl.BlockSpec((1, r), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # counts
+            pl.BlockSpec((1, r), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # window widths
+            pl.BlockSpec((_SPAD, 2 * r), lambda i: (0, 0)),  # reach table
+            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
+            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # labels
+        ],
+        out_specs=(pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((_SPAD, 8), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((r * blocks_per_ring, 1, blk_w),
+                                        F32),
+                   jax.ShapeDtypeStruct((_SPAD, 8), F32)),
+        scratch_shapes=[pltpu.VMEM((_SPAD, 8), F32)],
+        interpret=interpret,
+    )(bzs, counts, w2, reach, blk3(layout.alpha),
+      blk3(layout.label.astype(F32)))
+    return out.reshape(r, p) > 0, kf
+
+
 def labeled_pallas(layout, reach_f, reach_b, w, bz,
                    interpret: bool = False):
     """(R, P) bool road mask: slot reachable by any start of either sweep

@@ -153,25 +153,13 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
         limbs.append(3)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu:
-        # FUSED rank+place (ops/place.py, round 3): one Pallas pass assigns
-        # slots and accumulates the MXU one-hot products — the separate
-        # ranking kernel cost 25.3 ms/step at b128 recomputing the same
-        # group one-hot.  Returns None for layouts whose resident output
-        # exceeds VMEM; those fall through to the split kernels.
-        from urban_road_filter_tpu.ops.place import group_rank_place_pallas
-
-        fused = group_rank_place_pallas(ring_id, fields, rings, p,
-                                        limb_counts=tuple(limbs))
-        if fused is not None:
-            outs, pos, counts_all = fused
-            in_ring = ring_id < rings
-            counts = jnp.minimum(counts_all, p)
-            overflow = jnp.sum(in_ring & (pos >= p)).astype(I32)
-            outs = [o.astype(I32) if i >= 3 else o
-                    for i, o in enumerate(outs)]
-            return _assemble_layout(outs, label, with_pid, rings, p,
-                                    counts, overflow), pos
+    # (Round-3 dead end, measured: a FUSED rank+place kernel — in-kernel
+    # slot assignment via per-tile pairwise MXU products feeding the
+    # placement one-hot — ran ~48 ms/scan vs the split kernels' ~0.5:
+    # the serial tile->carry chain of tiny (128x128x64) matmuls and
+    # sublane reduces does not pipeline, and the rank cubes want a
+    # (rows, lanes, G) orientation that cannot share the (G, C) placement
+    # one-hot anyway.  See PERF.md.)
 
     # Slot of each point = # earlier points in the same ring — computed by
     # the sequential-grid Pallas ranking kernel (ops/rank.py): one read +

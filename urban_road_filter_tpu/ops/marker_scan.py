@@ -184,6 +184,217 @@ def marker_state_pallas(layout: RingLayout, num_rings, g_offset=None,
       blk3(layout.z), blk3(layout.alpha), blk3(layout.label.astype(F32)))
 
 
+def _marker_f_kernel(counts_ref, nring_ref, alpha_ref, label_ref, out_ref,
+                     state, *, blocks_per_ring: int, blk_w: int):
+    """Pass 1 of the SORT-FREE marker path (round 3): per-bin lexicographic
+    minimum key (ring, alpha, slot) over NON-ROAD points, streamed over the
+    UNSORTED tensorize layout.
+
+    Key order (ring, alpha, slot) == scan position in the azimuth-sorted
+    traversal (the stable sort orders by alpha with slot = input order on
+    ties), so this replaces the 13.3 ms/step azimuth sort + sorted-g
+    bookkeeping bit-for-bit: both paths compare the same f32 alpha values
+    of the same layout."""
+    step = pl.program_id(0)
+    ring = step // blocks_per_ring
+    blk = step % blocks_per_ring
+
+    @pl.when(step == 0)
+    def _():
+        state[...] = jnp.full((_BPAD, 8), _BIG, F32)
+
+    # (Round-3 dead end, measured: splitting the block into 4 sublane
+    # sub-rows so each touches ~1 bin window REGRESSED the step 213 -> 241
+    # ms at b128 — 4x the pl.when branches and state RMWs plus narrower
+    # vector ops cost more than the skipped compare volume saved.)
+    slot = (blk * blk_w + jax.lax.broadcasted_iota(I32, (1, blk_w), 1))
+    valid = (slot < counts_ref[0, ring]) & (ring < nring_ref[0, 0])
+    alpha = alpha_ref[0]
+    a_ok = valid & (alpha >= 0) & (alpha <= F32(360.0))
+    binf = jnp.where(a_ok, jnp.floor(alpha), F32(-1.0))
+    nonroad = (~(label_ref[0] == F32(LABEL_ROAD))) & a_ok
+    ring_f = F32(1) * ring  # f32 ring id (R*P < 2^24: all keys f32-exact)
+    if True:
+        slot_f = slot.astype(F32)
+        bmn = jnp.min(jnp.where(nonroad, binf, F32(_BIG)))
+        bmx = jnp.max(jnp.where(nonroad, binf, F32(-1.0)))
+
+        for win in range(_NWIN):
+            lo = F32(win * _WIN)
+
+            @pl.when((bmx >= lo) & (bmn < lo + _WIN))
+            def _(win=win, lo=lo, alpha=alpha, nonroad=nonroad, binf=binf,
+                  slot_f=slot_f):
+                bins = lo + jax.lax.broadcasted_iota(
+                    I32, (_WIN, alpha.shape[1]), 0).astype(F32)
+                nr = (bins == binf) & nonroad  # (WIN, sub)
+
+                a_min = jnp.min(jnp.where(nr, alpha, _BIG), axis=1,
+                                keepdims=True)  # (WIN, 1)
+                s_min = jnp.min(jnp.where(nr & (alpha == a_min), slot_f,
+                                          _BIG), axis=1, keepdims=True)
+                st = state[pl.ds(win * _WIN, _WIN), :]
+                kf_r, kf_a, kf_s = st[:, 0:1], st[:, 1:2], st[:, 2:3]
+                has = a_min < _BIG
+                # Streaming is ring-major: a later ring never beats an
+                # earlier Kf; equal ring compares (alpha, slot).
+                better = has & ((ring_f < kf_r) | (
+                    (ring_f == kf_r) & ((a_min < kf_a) | (
+                        (a_min == kf_a) & (s_min < kf_s)))))
+                new = jnp.concatenate([
+                    jnp.where(better, ring_f, kf_r),
+                    jnp.where(better, a_min, kf_a),
+                    jnp.where(better, s_min, kf_s),
+                    st[:, 3:8],
+                ], axis=1)
+                state[pl.ds(win * _WIN, _WIN), :] = new
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        out_ref[...] = state[...]
+
+
+def _marker_cand_kernel(counts_ref, nring_ref, kf_ref, alpha_ref, d_ref,
+                        label_ref, out_ref, state, *, blocks_per_ring: int,
+                        blk_w: int):
+    """Pass 2: per-bin farthest road point BEFORE the pass-1 key, with the
+    reference's strict-> update (first point in traversal order wins ties):
+    winner = lexicographic min (ring, alpha, slot) among d == maxd."""
+    step = pl.program_id(0)
+    ring = step // blocks_per_ring
+    blk = step % blocks_per_ring
+
+    @pl.when(step == 0)
+    def _():
+        state[...] = jnp.zeros((_BPAD, 8), F32)
+
+    slot = (blk * blk_w + jax.lax.broadcasted_iota(I32, (1, blk_w), 1))
+    valid = (slot < counts_ref[0, ring]) & (ring < nring_ref[0, 0])
+    alpha = alpha_ref[0]
+    a_ok = valid & (alpha >= 0) & (alpha <= F32(360.0))
+    binf = jnp.where(a_ok, jnp.floor(alpha), F32(-1.0))
+    d = d_ref[0]
+    candpt = (label_ref[0] == F32(LABEL_ROAD)) & a_ok & (d > 0)
+    ring_f = F32(1) * ring
+    if True:
+        slot_f = slot.astype(F32)
+        bmn = jnp.min(jnp.where(candpt, binf, F32(_BIG)))
+        bmx = jnp.max(jnp.where(candpt, binf, F32(-1.0)))
+
+        for win in range(_NWIN):
+            lo = F32(win * _WIN)
+
+            @pl.when((bmx >= lo) & (bmn < lo + _WIN))
+            def _(win=win, lo=lo, alpha=alpha, binf=binf, d=d,
+                  candpt=candpt, slot_f=slot_f):
+                bins = lo + jax.lax.broadcasted_iota(
+                    I32, (_WIN, alpha.shape[1]), 0).astype(F32)
+                in_bin = bins == binf
+
+                kf = kf_ref[pl.ds(win * _WIN, _WIN), :]
+                kf_r, kf_a, kf_s = kf[:, 0:1], kf[:, 1:2], kf[:, 2:3]
+                before_f = (ring_f < kf_r) | ((ring_f == kf_r) & (
+                    (alpha < kf_a) | ((alpha == kf_a) & (slot_f < kf_s))))
+                cand = in_bin & candpt & before_f  # (WIN, sub)
+
+                d_c = jnp.where(cand, d, F32(0))
+                maxd_loc = jnp.max(d_c, axis=1, keepdims=True)
+                att = cand & (d_c == maxd_loc)
+                a_min = jnp.min(jnp.where(att, alpha, _BIG), axis=1,
+                                keepdims=True)
+                s_min = jnp.min(jnp.where(att & (alpha == a_min), slot_f,
+                                          _BIG), axis=1, keepdims=True)
+
+                st = state[pl.ds(win * _WIN, _WIN), :]
+                maxd_run = st[:, 0:1]
+                w_r, w_a, w_s = st[:, 1:2], st[:, 2:3], st[:, 3:4]
+                better = maxd_loc > maxd_run
+                # Equal-distance tie: earlier traversal key wins; the
+                # key-compare update is order-independent, so sub-block
+                # arrival order cannot change the result.
+                tie = (maxd_loc == maxd_run) & (maxd_loc > 0) & (
+                    (ring_f < w_r) | ((ring_f == w_r) & (
+                        (a_min < w_a) | ((a_min == w_a) & (s_min < w_s)))))
+                take = better | tie
+                new = jnp.concatenate([
+                    jnp.where(take, maxd_loc, maxd_run),
+                    jnp.where(take, ring_f, w_r),
+                    jnp.where(take, a_min, w_a),
+                    jnp.where(take, s_min, w_s),
+                    st[:, 4:8],
+                ], axis=1)
+                state[pl.ds(win * _WIN, _WIN), :] = new
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        out_ref[...] = state[...]
+
+
+def marker_points_unsorted_pallas(layout: RingLayout, num_rings, kf=None,
+                                  interpret: bool = False):
+    """Dense (361, 6) marker table from the UNSORTED tensorize layout — the
+    azimuth sort is eliminated (its only consumer was this stage): two
+    streaming passes replace sort + one pass, and the <=361 winner
+    coordinates come back through a tiny (ring, slot) gather.
+
+    kf: optional precomputed pass-1 state (384, 8) — the flood fill's fused
+    labeled pass produces it for free (flood_scan.labeled_markerf_pallas),
+    skipping the separate pass-1 kernel."""
+    r, p = layout.alpha.shape
+    blk_w = math.gcd(p, 1024)
+    blocks_per_ring = p // blk_w
+
+    counts = layout.counts.astype(I32).reshape(1, r)
+    nring = jnp.full((1, 1), num_rings, I32)
+
+    def blk3(a):
+        return a.reshape(r * blocks_per_ring, 1, blk_w)
+
+    common = dict(grid=(r * blocks_per_ring,), interpret=interpret)
+    smem = [pl.BlockSpec((1, r), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)]
+    stream = lambda: pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0))
+    state_spec = pl.BlockSpec((_BPAD, 8), lambda i: (0, 0))
+
+    if kf is None:
+        kf = pl.pallas_call(
+            functools.partial(_marker_f_kernel,
+                              blocks_per_ring=blocks_per_ring, blk_w=blk_w),
+            in_specs=smem + [stream(), stream()],
+            out_specs=state_spec,
+            out_shape=jax.ShapeDtypeStruct((_BPAD, 8), F32),
+            scratch_shapes=[pltpu.VMEM((_BPAD, 8), F32)],
+            **common,
+        )(counts, nring, blk3(layout.alpha),
+          blk3(layout.label.astype(F32)))
+
+    st = pl.pallas_call(
+        functools.partial(_marker_cand_kernel,
+                          blocks_per_ring=blocks_per_ring, blk_w=blk_w),
+        in_specs=smem + [state_spec, stream(), stream(), stream()],
+        out_specs=state_spec,
+        out_shape=jax.ShapeDtypeStruct((_BPAD, 8), F32),
+        scratch_shapes=[pltpu.VMEM((_BPAD, 8), F32)],
+        **common,
+    )(counts, nring, kf, blk3(layout.alpha), blk3(layout.d2),
+      blk3(layout.label.astype(F32)))
+
+    maxd = st[:N_BINS, 0]
+    exists = maxd > 0
+    win_ring = jnp.where(exists, st[:N_BINS, 1], F32(0)).astype(I32)
+    win_slot = jnp.where(exists, st[:N_BINS, 3], F32(0)).astype(I32)
+    # <=361 winner coordinates by (ring, slot) gather — the unsorted slot
+    # IS the layout address, so no pid/permutation is needed.
+    px = jnp.where(exists, layout.x[win_ring, win_slot], F32(0))
+    py = jnp.where(exists, layout.y[win_ring, win_slot], F32(0))
+    pz = jnp.where(exists, layout.z[win_ring, win_slot], F32(0))
+    red = (kf[:N_BINS, 0] < _BIG).astype(F32)
+    bins = jnp.arange(N_BINS, dtype=F32)
+    return jnp.stack([exists.astype(F32), px, py, pz, red, bins], axis=1)
+
+
 def marker_points_pallas(layout: RingLayout, num_rings, interpret: bool = False):
     """Dense (361, 6) marker table [exists, x, y, z, red, bin] from the
     azimuth-sorted layout — matches ops.markers.marker_points exactly."""

@@ -136,164 +136,6 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
                     parts, axis=0)
 
 
-def _rank_place_kernel(ids_ref, vals_ref, out_ref, pos_ref, counts_ref,
-                       running, *, n_groups_pad: int, num_groups: int,
-                       col_w: int, n_cols: int, n_fields: int,
-                       limb_counts: tuple, chunk: int):
-    """Fused ranking + placement (round 3): the separate rank kernel cost
-    25.3 ms/step at b128 (device trace r2) recomputing the same group
-    one-hot this kernel already builds for the MXU product.  Here each
-    chunk computes its points' slots inline:
-
-      * per 128-lane tile, the within-tile same-group exclusive count is
-        an MXU pairwise product S = oh_t^T @ oh_t (counts <= 128: bf16
-        exact) masked lower-triangular — no (rows, L, L') VPU compare cube;
-      * tile-to-tile and chunk-to-chunk carries ride a (G, 1) running
-        counter in VMEM scratch (TPU grids run in order);
-      * the active-panel test becomes a min/max range check on the chunk's
-        computed slots (replacing the host-precomputed SMEM map).
-    """
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-        running[...] = jnp.zeros_like(running)
-
-    bf = jnp.bfloat16
-    ids = ids_ref[0]  # (1, C)
-    gid = jax.lax.broadcasted_iota(I32, (n_groups_pad, 1), 0)
-    oh = gid == ids  # (G, C) bool; rows only for REAL groups (g < G)
-
-    # --- ranking: pos = running[g] + tile bases + within-tile count ---
-    n_tiles = chunk // 128
-    carry = running[...].astype(F32)  # (G, 1); counts < 2^24: f32-exact
-    lt = jax.lax.broadcasted_iota(I32, (128, 128), 0) < \
-        jax.lax.broadcasted_iota(I32, (128, 128), 1)  # j < i (strict)
-    pos_tiles = []
-    for t in range(n_tiles):
-        oh_t = oh[:, t * 128:(t + 1) * 128]  # (G, 128)
-        # Base for this tile = group counts before it (carry), selected
-        # per point through the one-hot (sublane reduce).
-        own_base = jnp.sum(jnp.where(oh_t, jnp.broadcast_to(
-            carry, oh_t.shape), F32(0)), axis=0, keepdims=True)  # (1, 128)
-        oh_tb = oh_t.astype(bf)
-        s_pair = jax.lax.dot_general(  # (128, 128): same-group pairs
-            oh_tb, oh_tb, (((0,), (0,)), ((), ())),
-            preferred_element_type=F32)
-        within = jnp.sum(jnp.where(lt, s_pair, F32(0)), axis=0,
-                         keepdims=True)  # (1, 128) exclusive count
-        pos_tiles.append(own_base + within)
-        carry = carry + jnp.sum(oh_t, axis=1, keepdims=True).astype(F32)
-    running[...] = carry.astype(I32)
-    pos_f = jnp.concatenate(pos_tiles, axis=1)  # (1, C) f32, integral
-    pos = pos_f.astype(I32)
-    pos_ref[0] = pos
-
-    @pl.when(step == pl.num_programs(0) - 1)
-    def _():
-        counts_ref[...] = carry.astype(I32).T  # (1, G)
-
-    # --- placement: identical math to _place_kernel ---
-    vals = vals_ref[0]  # (n_fields, C)
-    lands = ids < I32(num_groups)
-    pmn = jnp.min(jnp.where(lands, pos, I32(1 << 30)))
-    pmx = jnp.max(jnp.where(lands, pos, I32(-1)))
-
-    hi = vals.astype(bf)
-    r1 = vals - hi.astype(F32)
-    mid = r1.astype(bf)
-    lo = (r1 - mid.astype(F32)).astype(bf)
-    rows = []
-    for f, nl in enumerate(limb_counts):
-        rows.append(hi[f:f + 1])
-        if nl >= 2:
-            rows.append(mid[f:f + 1])
-        if nl >= 3:
-            rows.append(lo[f:f + 1])
-    limbs = jnp.concatenate(rows, axis=0)  # (sum(limb_counts), C) bf16
-    ring_oh = oh.astype(bf)
-    a = (limbs[:, None, :] * ring_oh[None, :, :]).reshape(
-        sum(limb_counts) * n_groups_pad, chunk)
-
-    # Active-panel range check on the COMPUTED slots: conservative (panel
-    # gaps activate too) but firing-order chunks span ~1 panel anyway.
-    for j in range(n_cols):
-        @pl.when((pmn < (j + 1) * col_w) & (pmx >= j * col_w))
-        def _(j=j):
-            sid = j * col_w + jax.lax.broadcasted_iota(
-                I32, (col_w, chunk), 0)
-            pos_oh_t = (sid == pos).astype(bf)  # (col_w, C)
-            r = jax.lax.dot_general(a, pos_oh_t, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=F32)
-            parts = []
-            row = 0
-            for nl in limb_counts:
-                t = r[row * n_groups_pad:(row + 1) * n_groups_pad]
-                for k in range(1, nl):
-                    t = t + r[(row + k) * n_groups_pad:
-                              (row + k + 1) * n_groups_pad]
-                parts.append(t)
-                row += nl
-            out_ref[:, j * col_w:(j + 1) * col_w] += jnp.concatenate(
-                parts, axis=0)
-
-
-def group_rank_place_pallas(ids, fields, num_groups: int, capacity: int,
-                            limb_counts=None, interpret: bool = False):
-    """Fused group_positions + group_place_pallas: one pass assigns each
-    point its stable within-group slot AND places all fields.
-
-    Returns (outs, pos, counts) — outs like group_place_pallas, pos (N,)
-    i32 slots, counts (num_groups,) i32 totals — or None when the resident
-    output would exceed the VMEM budget (caller falls back to the split
-    kernels).  Values of points with ids >= num_groups must already be
-    zeroed by the caller if they can be non-finite."""
-    n = ids.shape[0]
-    nf = len(fields)
-    limb_counts = tuple(limb_counts or (3,) * nf)
-    g_pad = _round_up(num_groups, 8)
-    n_pad = _round_up(n, _C)
-    col_w = min(capacity, 128)
-    cap_pad = _round_up(capacity, col_w)
-    n_cols = cap_pad // col_w
-    if nf * g_pad * cap_pad * 4 > (6 << 20):
-        return None  # resident output too large; use rank + place
-
-    def prep_row(a, fill, dtype):
-        return jnp.full((n_pad,), fill, dtype).at[:n].set(
-            a.astype(dtype)).reshape(n_pad // _C, 1, _C)
-
-    ids2 = prep_row(ids, I32(num_groups), I32)  # pad tail -> no group
-    ok = ids < I32(num_groups)
-    vals2 = jnp.stack([jnp.full((n_pad,), 0.0, F32).at[:n].set(
-        jnp.where(ok, f.astype(F32), F32(0))) for f in fields], axis=0)
-    vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)
-
-    n_chunks = n_pad // _C
-    out, pos, counts = pl.pallas_call(
-        functools.partial(_rank_place_kernel, n_groups_pad=g_pad,
-                          num_groups=num_groups, col_w=col_w, n_cols=n_cols,
-                          n_fields=nf, limb_counts=limb_counts, chunk=_C),
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0)),  # ids
-            pl.BlockSpec((1, nf, _C), lambda i: (i, 0, 0)),  # values
-        ],
-        out_specs=(pl.BlockSpec((nf * g_pad, cap_pad), lambda i: (0, 0)),
-                   pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0)),
-                   pl.BlockSpec((1, g_pad), lambda i: (0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((nf * g_pad, cap_pad), F32),
-                   jax.ShapeDtypeStruct((n_chunks, 1, _C), I32),
-                   jax.ShapeDtypeStruct((1, g_pad), I32)),
-        scratch_shapes=[pltpu.VMEM((g_pad, 1), I32)],
-        interpret=interpret,
-    )(ids2, vals2)
-    outs = [out[f * g_pad:f * g_pad + num_groups, :capacity]
-            for f in range(nf)]
-    return outs, pos.reshape(-1)[:n], counts[0, :num_groups]
-
-
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
                        limb_counts=None, interpret: bool = False):
     """fields: list of (N,) arrays (cast to f32; exact for int32 |v|<2^24).
@@ -322,10 +164,16 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     # whole product (NaN * 0 == NaN inside jnp.dot).  Real PCD clouds contain
     # NaN returns, so zero the values of every non-landing point.
     lands = (ids < I32(num_groups)) & (pos < I32(capacity))
+    # (Round-3 dead end, measured: an int8-LIMB variant — byte limbs of the
+    # values' i32 representation with i8 one-hots, halving A-tile bytes and
+    # riding the MXU s8 mode — cannot be built in Mosaic today: elementwise
+    # i8 mul fails to legalize (arith.muli on i8 vectors) and the i1 mask
+    # (8,128)->(32,128) retiling for an i8 select is an invalid relayout.
+    # The standalone s8 x s8 -> s32 MXU matmul itself works.  See PERF.md.)
     vals2 = jnp.stack([jnp.full((n_pad,), 0.0, F32).at[:n].set(
         jnp.where(lands, f.astype(F32), F32(0))) for f in fields],
         axis=0)  # (F, n_pad)
-    vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)  # (S, F, C)
+    vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)
 
     # Narrow (128-wide) column panels bound the MXU MACs per active pair
     # (firing-order chunks advance each ring's write head by only a few

@@ -112,16 +112,24 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
             layout = z_zero(layout, cfg)
 
     # blind_spots is order-free (windows test each slot's own azimuth);
-    # only the marker stage needs the azimuth-sorted view.
-    layout = blind_spots(layout, max_dist, num_rings, cfg)
-    sorted_layout = geometry.sort_by_azimuth(layout)
+    # only the marker stage needs azimuth ORDER — and on TPU it needs only
+    # the order RELATION, not a physically sorted layout.
     if jax.default_backend() in ("tpu", "axon"):
-        # One streaming Pallas pass over the sorted layout replaces four
-        # dense (R, P, B) reduction cubes (~0.6 ms/scan, device trace r2).
-        from urban_road_filter_tpu.ops.marker_scan import marker_points_pallas
+        # Sort-free marker path (round 3): lexicographic (ring, alpha,
+        # slot) keys over the unsorted layout — equal to sorted-traversal
+        # order bit-for-bit — replace the 13.3 ms/step azimuth sort; the
+        # marker stage's non-road pass rides INSIDE the flood fill's
+        # labeled kernel (want_marker_f), so only one extra streaming pass
+        # (candidates) remains.
+        from urban_road_filter_tpu.ops.marker_scan import (
+            marker_points_unsorted_pallas)
 
-        markers = marker_points_pallas(sorted_layout, num_rings)
+        layout, kf = blind_spots(layout, max_dist, num_rings, cfg,
+                                 want_marker_f=True)
+        markers = marker_points_unsorted_pallas(layout, num_rings, kf=kf)
     else:
+        layout = blind_spots(layout, max_dist, num_rings, cfg)
+        sorted_layout = geometry.sort_by_azimuth(layout)
         markers = marker_points(sorted_layout, num_rings)
 
     # Final labels back to input-point order by TABLE-GATHER at each
