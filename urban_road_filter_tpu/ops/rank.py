@@ -29,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 I32 = jnp.int32
 
 _LANES = 128
-_ROWS = 32  # rows per grid step -> 4096 points; VMEM ~= ROWS*LANES*G*4B
+_ROWS = 64  # rows per grid step -> 8192 points; VMEM ~= ROWS*LANES*G*4B
+# (tools/bench_rank.py TPU sweep, b128/131k pts/65 groups: 8->56.6,
+#  16->56.2, 32->55.8, 64->54.3 ms/step; 128 fails server-side compile.)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -80,19 +82,20 @@ def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
         counts_ref[...] = running[...]
 
 
-def _pallas_rank(ids: jax.Array, num_groups: int, interpret: bool = False):
+def _pallas_rank(ids: jax.Array, num_groups: int, interpret: bool = False,
+                 rows: int = _ROWS):
     n = ids.shape[0]
     g_pad = _round_up(num_groups + 1, _LANES)  # last group = padding sink
-    n_pad = _round_up(n, _ROWS * _LANES)
+    n_pad = _round_up(n, rows * _LANES)
     ids2 = jnp.full((n_pad,), g_pad - 1, I32).at[:n].set(ids)
     ids2 = ids2.reshape(n_pad // _LANES, _LANES)
 
     pos, counts = pl.pallas_call(
-        functools.partial(_rank_kernel, g_pad=g_pad, rows=_ROWS),
-        grid=(n_pad // (_ROWS * _LANES),),
-        in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+        functools.partial(_rank_kernel, g_pad=g_pad, rows=rows),
+        grid=(n_pad // (rows * _LANES),),
+        in_specs=[pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+        out_specs=(pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, g_pad), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)),
