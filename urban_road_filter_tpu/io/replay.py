@@ -90,7 +90,8 @@ class ReplayHarness:
                  drop_when_behind: bool = True,
                  checkpoint_path: Optional[str] = None,
                  on_scan: Optional[Callable[[ScanOutputs], None]] = None,
-                 azimuth_shard: int = 0):
+                 azimuth_shard: int = 0,
+                 checked: bool = False):
         self.cfg = cfg or FilterConfig()
         self.dims = dims or PipelineDims()
         self.rate_hz = rate_hz
@@ -102,6 +103,10 @@ class ReplayHarness:
         # ScanOutputs — parallel.azimuth_parallel returns the full
         # ScanResult surface).
         self.azimuth_shard = int(azimuth_shard)
+        # checked: route scans through the checkified pipeline (in-graph
+        # index bounds validation, utils/checked.py) — debug mode; an OOB
+        # index raises instead of clamping silently.
+        self.checked = bool(checked)
         self._sp_run = None
         self.metrics = StreamMetrics()
         self.tracker = MarkerTracker()
@@ -120,6 +125,11 @@ class ReplayHarness:
                 self._sp_run = make_azimuth_pipeline(mesh, self.cfg,
                                                      self.dims)
             return self._sp_run(dev_scan, self.cfg)
+        if self.checked:
+            from urban_road_filter_tpu.utils.checked import (
+                process_scan_checked)
+
+            return process_scan_checked(dev_scan, self.cfg, self.dims)
         return process_scan_jit(dev_scan, self.cfg, self.dims)
 
     # ---- checkpoint / resume ----
@@ -319,6 +329,9 @@ def main() -> None:
                     help="config file, .json or .yaml by extension")
     ap.add_argument("--stats-jsonl", default=None,
                     help="write per-scan stats records to this file")
+    ap.add_argument("--checked", action="store_true",
+                    help="debug: in-graph index bounds validation "
+                         "(checkify); OOB raises instead of clamping")
     args = ap.parse_args()
 
     cfg = FilterConfig()
@@ -358,7 +371,8 @@ def main() -> None:
     h = ReplayHarness(cfg=cfg, rate_hz=args.rate_hz,
                       drop_when_behind=not args.no_drop,
                       checkpoint_path=args.checkpoint, on_scan=sink,
-                      azimuth_shard=args.azimuth_shard)
+                      azimuth_shard=args.azimuth_shard,
+                      checked=args.checked)
     metrics = h.run(source, max_scans=args.scans)
     print(json.dumps(metrics.summary()))
 
