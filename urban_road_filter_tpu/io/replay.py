@@ -332,6 +332,13 @@ def main() -> None:
     ap.add_argument("--checked", action="store_true",
                     help="debug: in-graph index bounds validation "
                          "(checkify); OOB raises instead of clamping")
+    ap.add_argument("--follow", nargs="?", const="", default=None,
+                    metavar="DIR",
+                    help="live view (rviz follow analogue): window on an "
+                         "interactive display, frame PNGs into DIR when "
+                         "headless (default throttle 10 Hz)")
+    ap.add_argument("--follow-rate", type=float, default=10.0,
+                    help="max live-view redraw rate in Hz")
     args = ap.parse_args()
 
     cfg = FilterConfig()
@@ -363,10 +370,19 @@ def main() -> None:
                              f"have {sorted(SCENES)}")
         source = scene_source(args.scene, n_scans=args.scans)
 
-    sink = None
+    sinks = []
     if args.stats_jsonl:
         fh = open(args.stats_jsonl, "a")
-        sink = lambda o: (fh.write(o.stats.to_json() + "\n"), fh.flush())
+        sinks.append(lambda o: (fh.write(o.stats.to_json() + "\n"),
+                                fh.flush()))
+    if args.follow is not None:
+        from urban_road_filter_tpu.viz import LiveViewer
+
+        sinks.append(LiveViewer(rate_hz=args.follow_rate,
+                                out_dir=args.follow or None))
+    sink = None
+    if sinks:
+        sink = lambda o: [s(o) for s in sinks]
 
     h = ReplayHarness(cfg=cfg, rate_hz=args.rate_hz,
                       drop_when_behind=not args.no_drop,
