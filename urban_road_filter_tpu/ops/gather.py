@@ -86,7 +86,7 @@ def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, acc, *, g_pad: int,
 
 
 def gather_by_group_pos(table, ids, pos, interpret: bool = False,
-                        pack: int = 1):
+                        pack: int = 1, chunk: int = _C):
     """table: (num_groups, capacity) f32 with bf16-exact values;
     ids/pos: (N,) int32.  Returns (N,) f32; out-of-range -> 0.
     pack=4 requires table values in {0..3}: four 2-bit values are packed
@@ -101,7 +101,7 @@ def gather_by_group_pos(table, ids, pos, interpret: bool = False,
         return jnp.where(in_range, safe, 0).astype(table.dtype)
 
     g_pad = _round_up(num_groups, 128)  # lane-width pad for the MXU result
-    n_pad = _round_up(n, _C)
+    n_pad = _round_up(n, chunk)
     if pack > 1:
         assert capacity % pack == 0
         t4 = table.astype(I32).reshape(num_groups, capacity // pack, pack)
@@ -115,26 +115,26 @@ def gather_by_group_pos(table, ids, pos, interpret: bool = False,
 
     def prep(a, fill):
         return jnp.full((n_pad,), fill, I32).at[:n].set(a).reshape(
-            n_pad // _C, 1, _C)
+            n_pad // chunk, 1, chunk)
 
     ids2 = prep(ids, I32(g_pad))  # pad rows match no group -> 0
     pos2 = prep(pos, I32(capacity))
 
     out = pl.pallas_call(
         functools.partial(_gather_kernel, g_pad=g_pad, pack=pack),
-        grid=(n_pad // _C,),
+        grid=(n_pad // chunk,),
         in_specs=[
-            pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((capacity // pack, g_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, _C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad // _C, 1, _C), F32),
-        scratch_shapes=[pltpu.VMEM((g_pad, _C), F32)],
+        out_shape=jax.ShapeDtypeStruct((n_pad // chunk, 1, chunk), F32),
+        scratch_shapes=[pltpu.VMEM((g_pad, chunk), F32)],
         interpret=interpret,
     )(ids2, pos2, table_t)
     return out.reshape(-1)[:n].astype(table.dtype)

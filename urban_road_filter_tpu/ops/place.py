@@ -27,7 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 I32 = jnp.int32
 
-_C = 1024  # points per grid step
+_C = 2048  # points per grid step (tools/bench_place.py TPU sweep, b128:
+# 1024 -> 143.4, 2048 -> 91.4, 4096 -> 90.3 ms/step isolated — the grid's
+# fixed per-step cost dominates below 2048; 4096's extra 1% is not worth
+# doubling the A-tile VMEM, which the 128-ring SP wedges also pay)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -137,7 +140,8 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
 
 
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
-                       limb_counts=None, interpret: bool = False):
+                       limb_counts=None, interpret: bool = False,
+                       chunk: int = _C):
     """fields: list of (N,) arrays (cast to f32; exact for int32 |v|<2^24).
     limb_counts: per-field bf16 limb count (1 suffices for values needing
     <=8 mantissa bits, e.g. small label enums; default 3 = full f32).
@@ -150,12 +154,12 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     nf = len(fields)
     limb_counts = tuple(limb_counts or (3,) * nf)
     g_pad = _round_up(num_groups, 8)
-    n_pad = _round_up(n, _C)
+    n_pad = _round_up(n, chunk)
     pad_id = I32(g_pad)  # out-of-range group -> contributes nowhere
 
     def prep_row(a, fill, dtype):
         return jnp.full((n_pad,), fill, dtype).at[:n].set(
-            a.astype(dtype)).reshape(n_pad // _C, 1, _C)
+            a.astype(dtype)).reshape(n_pad // chunk, 1, chunk)
 
     ids2 = prep_row(ids, pad_id, I32)
     pos2 = prep_row(pos, I32(capacity), I32)
@@ -173,7 +177,7 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     vals2 = jnp.stack([jnp.full((n_pad,), 0.0, F32).at[:n].set(
         jnp.where(lands, f.astype(F32), F32(0))) for f in fields],
         axis=0)  # (F, n_pad)
-    vals2 = vals2.reshape(nf, n_pad // _C, _C).transpose(1, 0, 2)
+    vals2 = vals2.reshape(nf, n_pad // chunk, chunk).transpose(1, 0, 2)
 
     # Narrow (128-wide) column panels bound the MXU MACs per active pair
     # (firing-order chunks advance each ring's write head by only a few
@@ -196,12 +200,12 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     n_super = n_cols // cols_per_super
     # Which (col panel, chunk) pairs receive any point (firing-order scans
     # touch ~1 panel per chunk; skipped pairs cost no VPU/MXU work).
-    pos_chunks = pos2.reshape(n_pad // _C, _C)
+    pos_chunks = pos2.reshape(n_pad // chunk, chunk)
     active = jnp.any(
         (pos_chunks // col_w)[None, :, :] ==
         jnp.arange(n_cols, dtype=I32)[:, None, None], axis=2).astype(I32)
 
-    n_chunks = n_pad // _C
+    n_chunks = n_pad // chunk
     out = pl.pallas_call(
         functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
                           cols_per_super=cols_per_super, n_fields=nf,
@@ -210,9 +214,9 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
         in_specs=[
             pl.BlockSpec((n_cols, n_chunks), lambda s, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, _C), lambda s, i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, _C), lambda s, i: (i, 0, 0)),
-            pl.BlockSpec((1, nf, _C), lambda s, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda s, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda s, i: (i, 0, 0)),
+            pl.BlockSpec((1, nf, chunk), lambda s, i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nf * g_pad, super_w), lambda s, i: (0, s)),
         out_shape=jax.ShapeDtypeStruct((nf * g_pad, n_super * super_w), F32),

@@ -49,32 +49,44 @@ def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
 
     ids = ids_ref[...]  # (rows, LANES) int32, row-major point order
 
-    # Within-row exclusive same-group count: lane l counts lanes l' < l.
-    # Masks stay BOOLEAN end-to-end — materializing the (rows, L, L') cube
-    # as i32 made this kernel VMEM-bandwidth-bound (2 MB per intermediate).
-    lane = jax.lax.broadcasted_iota(I32, (1, _LANES, _LANES), 1)
-    lane_p = jax.lax.broadcasted_iota(I32, (1, _LANES, _LANES), 2)
-    same_lt = (ids[:, :, None] == ids[:, None, :]) & (lane_p < lane)
-    within_row = jnp.sum(same_lt, axis=2, dtype=I32)  # (rows, LANES)
-
-    # Per-row group counts + exclusive across-row prefix within the block.
+    # MXU-prefix formulation (round-3 variant sweep, tools/
+    # bench_rank_variants.py: 51.8 -> 47.7 ms/step at b128): the one-hot
+    # is built LANE-TRANSPOSED, O_t[l, r, g] = [ids[r, l] == g], so the
+    # within-row exclusive same-group count becomes one strictly-lower-
+    # triangular bf16 matmul over the lane axis instead of the
+    # (rows, L, L') pairwise compare cube, and its result shares the
+    # single one-hot select with the running-base term.  bf16 0/1 operands
+    # with f32 accumulation keep every count exact (<= 128 < 2^8).
+    ids_t = ids.T  # (LANES, rows) i32
     gids = jax.lax.broadcasted_iota(I32, (1, 1, g_pad), 2)
-    oh3 = ids[:, :, None] == gids  # (rows, LANES, g_pad) bool
-    rowcnt = jnp.sum(oh3, axis=1, dtype=I32)  # (rows, g_pad)
+    oh_t = ids_t[:, :, None] == gids  # (LANES, rows, g_pad) bool
+    rowcnt = jnp.sum(oh_t, axis=0, dtype=I32)  # (rows, g_pad)
+
+    # Exclusive across-row prefix of per-row group counts within the block.
     r_i = jax.lax.broadcasted_iota(I32, (rows, rows), 0)
     r_j = jax.lax.broadcasted_iota(I32, (rows, rows), 1)
-    lt = (r_j < r_i).astype(jnp.float32)  # strictly-lower triangular
-    row_base = jnp.dot(lt, rowcnt.astype(jnp.float32),
-                       preferred_element_type=jnp.float32).astype(I32)
+    lt_r = (r_j < r_i).astype(jnp.float32)  # strictly-lower triangular
+    row_base = jnp.dot(lt_r, rowcnt.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    base = running[0:1, :].astype(jnp.float32) + row_base  # (rows, g_pad)
 
-    base = running[0:1, :] + row_base  # (rows, g_pad) counts before each row
-    # (Measured dead end: replacing this select cube with Mosaic's vreg
-    # lane-gather (take_along_axis, g_pad == 128 form) REGRESSED the
-    # kernel 25.3 -> 30.5 ms/step at b128 — the per-lane dynamic shuffle
-    # lowers to a longer instruction sequence than the where+reduce.)
-    base_sel = jnp.sum(jnp.where(oh3, base[:, None, :], I32(0)), axis=2)
+    # Within-row prefix: P_t[l, r, g] = # lanes l' < l of row r in group g.
+    l_i = jax.lax.broadcasted_iota(I32, (_LANES, _LANES), 0)
+    l_j = jax.lax.broadcasted_iota(I32, (_LANES, _LANES), 1)
+    lt_l = (l_j < l_i).astype(jnp.bfloat16)
+    o2 = oh_t.astype(jnp.bfloat16).reshape(_LANES, rows * g_pad)
+    p_t = jnp.dot(lt_l, o2, preferred_element_type=jnp.float32).reshape(
+        _LANES, rows, g_pad)
 
-    pos_ref[...] = within_row + base_sel
+    # ONE one-hot select of (within-row + base); transposed back to the
+    # (rows, LANES) output layout.  (Measured dead ends: an i32 pairwise
+    # compare cube for within-row cost +4 ms/step; Mosaic's vreg
+    # lane-gather (take_along_axis, g_pad == 128 form) for this select
+    # REGRESSED 25.3 -> 30.5 ms/step — the per-lane dynamic shuffle
+    # lowers to a longer sequence than the where+reduce.)
+    tot = p_t + base[None, :, :]
+    sel = jnp.sum(jnp.where(oh_t, tot, jnp.float32(0)), axis=2)  # (L, rows)
+    pos_ref[...] = sel.astype(I32).T
     running[0:1, :] = running[0:1, :] + jnp.sum(rowcnt, axis=0, keepdims=True)
 
     @pl.when(step == n_steps - 1)
