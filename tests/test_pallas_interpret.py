@@ -524,7 +524,8 @@ class TestFloodScanInterpret:
         nring = jnp.full((1, 1), nr, jnp.int32)
         blk3 = lambda a: a.reshape(r, 1, p)
         want_kf = pl.pallas_call(
-            functools.partial(_marker_f_kernel, blocks_per_ring=1, blk_w=p),
+            functools.partial(_marker_f_kernel, blocks_per_ring=1, blk_w=p,
+                              rows_per_step=1),
             grid=(r,),
             in_specs=[pl.BlockSpec((1, r), lambda i: (0, 0),
                                    memory_space=pltpu.SMEM),

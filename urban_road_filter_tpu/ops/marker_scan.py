@@ -185,7 +185,8 @@ def marker_state_pallas(layout: RingLayout, num_rings, g_offset=None,
 
 
 def _marker_f_kernel(counts_ref, nring_ref, alpha_ref, label_ref, out_ref,
-                     state, *, blocks_per_ring: int, blk_w: int):
+                     state, *, blocks_per_ring: int, blk_w: int,
+                     rows_per_step: int):
     """Pass 1 of the SORT-FREE marker path (round 3): per-bin lexicographic
     minimum key (ring, alpha, slot) over NON-ROAD points, streamed over the
     UNSORTED tensorize layout.
@@ -194,10 +195,14 @@ def _marker_f_kernel(counts_ref, nring_ref, alpha_ref, label_ref, out_ref,
     traversal (the stable sort orders by alpha with slot = input order on
     ties), so this replaces the 13.3 ms/step azimuth sort + sorted-g
     bookkeeping bit-for-bit: both paths compare the same f32 alpha values
-    of the same layout."""
+    of the same layout.
+
+    rows_per_step (ring, blk) rows ride one grid step (an in-kernel loop):
+    per-row work is unchanged, but the grid's fixed per-step cost — the
+    dominant term at (1, blk_w) blocks, see PERF.md round 4 — is amortized
+    rows_per_step x.  The key-compare update is order-independent, so the
+    fold cannot change results (and the loop preserves order anyway)."""
     step = pl.program_id(0)
-    ring = step // blocks_per_ring
-    blk = step % blocks_per_ring
 
     @pl.when(step == 0)
     def _():
@@ -207,14 +212,17 @@ def _marker_f_kernel(counts_ref, nring_ref, alpha_ref, label_ref, out_ref,
     # sub-rows so each touches ~1 bin window REGRESSED the step 213 -> 241
     # ms at b128 — 4x the pl.when branches and state RMWs plus narrower
     # vector ops cost more than the skipped compare volume saved.)
-    slot = (blk * blk_w + jax.lax.broadcasted_iota(I32, (1, blk_w), 1))
-    valid = (slot < counts_ref[0, ring]) & (ring < nring_ref[0, 0])
-    alpha = alpha_ref[0]
-    a_ok = valid & (alpha >= 0) & (alpha <= F32(360.0))
-    binf = jnp.where(a_ok, jnp.floor(alpha), F32(-1.0))
-    nonroad = (~(label_ref[0] == F32(LABEL_ROAD))) & a_ok
-    ring_f = F32(1) * ring  # f32 ring id (R*P < 2^24: all keys f32-exact)
-    if True:
+    for j in range(rows_per_step):
+        row = step * rows_per_step + j
+        ring = row // blocks_per_ring
+        blk = row % blocks_per_ring
+        slot = (blk * blk_w + jax.lax.broadcasted_iota(I32, (1, blk_w), 1))
+        valid = (slot < counts_ref[0, ring]) & (ring < nring_ref[0, 0])
+        alpha = alpha_ref[j]
+        a_ok = valid & (alpha >= 0) & (alpha <= F32(360.0))
+        binf = jnp.where(a_ok, jnp.floor(alpha), F32(-1.0))
+        nonroad = (~(label_ref[j] == F32(LABEL_ROAD))) & a_ok
+        ring_f = F32(1) * ring  # f32 ring id (R*P < 2^24: keys f32-exact)
         slot_f = slot.astype(F32)
         bmn = jnp.min(jnp.where(nonroad, binf, F32(_BIG)))
         bmx = jnp.max(jnp.where(nonroad, binf, F32(-1.0)))
@@ -256,27 +264,29 @@ def _marker_f_kernel(counts_ref, nring_ref, alpha_ref, label_ref, out_ref,
 
 def _marker_cand_kernel(counts_ref, nring_ref, kf_ref, alpha_ref, d_ref,
                         label_ref, out_ref, state, *, blocks_per_ring: int,
-                        blk_w: int):
+                        blk_w: int, rows_per_step: int):
     """Pass 2: per-bin farthest road point BEFORE the pass-1 key, with the
     reference's strict-> update (first point in traversal order wins ties):
-    winner = lexicographic min (ring, alpha, slot) among d == maxd."""
+    winner = lexicographic min (ring, alpha, slot) among d == maxd.
+    rows_per_step: see _marker_f_kernel (same order-independent fold)."""
     step = pl.program_id(0)
-    ring = step // blocks_per_ring
-    blk = step % blocks_per_ring
 
     @pl.when(step == 0)
     def _():
         state[...] = jnp.zeros((_BPAD, 8), F32)
 
-    slot = (blk * blk_w + jax.lax.broadcasted_iota(I32, (1, blk_w), 1))
-    valid = (slot < counts_ref[0, ring]) & (ring < nring_ref[0, 0])
-    alpha = alpha_ref[0]
-    a_ok = valid & (alpha >= 0) & (alpha <= F32(360.0))
-    binf = jnp.where(a_ok, jnp.floor(alpha), F32(-1.0))
-    d = d_ref[0]
-    candpt = (label_ref[0] == F32(LABEL_ROAD)) & a_ok & (d > 0)
-    ring_f = F32(1) * ring
-    if True:
+    for j in range(rows_per_step):
+        row = step * rows_per_step + j
+        ring = row // blocks_per_ring
+        blk = row % blocks_per_ring
+        slot = (blk * blk_w + jax.lax.broadcasted_iota(I32, (1, blk_w), 1))
+        valid = (slot < counts_ref[0, ring]) & (ring < nring_ref[0, 0])
+        alpha = alpha_ref[j]
+        a_ok = valid & (alpha >= 0) & (alpha <= F32(360.0))
+        binf = jnp.where(a_ok, jnp.floor(alpha), F32(-1.0))
+        d = d_ref[j]
+        candpt = (label_ref[j] == F32(LABEL_ROAD)) & a_ok & (d > 0)
+        ring_f = F32(1) * ring
         slot_f = slot.astype(F32)
         bmn = jnp.min(jnp.where(candpt, binf, F32(_BIG)))
         bmx = jnp.max(jnp.where(candpt, binf, F32(-1.0)))
@@ -331,7 +341,8 @@ def _marker_cand_kernel(counts_ref, nring_ref, kf_ref, alpha_ref, d_ref,
 
 
 def marker_points_unsorted_pallas(layout: RingLayout, num_rings, kf=None,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  rows_per_step: int = 8):
     """Dense (361, 6) marker table from the UNSORTED tensorize layout — the
     azimuth sort is eliminated (its only consumer was this stage): two
     streaming passes replace sort + one pass, and the <=361 winner
@@ -339,29 +350,35 @@ def marker_points_unsorted_pallas(layout: RingLayout, num_rings, kf=None,
 
     kf: optional precomputed pass-1 state (384, 8) — the flood fill's fused
     labeled pass produces it for free (flood_scan.labeled_markerf_pallas),
-    skipping the separate pass-1 kernel."""
+    skipping the separate pass-1 kernel.
+
+    rows_per_step: (ring, blk) rows folded into each grid step (amortizes
+    the fixed per-grid-step cost; see PERF.md round 4)."""
     r, p = layout.alpha.shape
     blk_w = math.gcd(p, 1024)
     blocks_per_ring = p // blk_w
+    n_rows = r * blocks_per_ring
+    k = math.gcd(n_rows, rows_per_step)
 
     counts = layout.counts.astype(I32).reshape(1, r)
     nring = jnp.full((1, 1), num_rings, I32)
 
     def blk3(a):
-        return a.reshape(r * blocks_per_ring, 1, blk_w)
+        return a.reshape(n_rows, 1, blk_w)
 
-    common = dict(grid=(r * blocks_per_ring,), interpret=interpret)
+    common = dict(grid=(n_rows // k,), interpret=interpret)
     smem = [pl.BlockSpec((1, r), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM)]
-    stream = lambda: pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0))
+    stream = lambda: pl.BlockSpec((k, 1, blk_w), lambda i: (i, 0, 0))
     state_spec = pl.BlockSpec((_BPAD, 8), lambda i: (0, 0))
 
     if kf is None:
         kf = pl.pallas_call(
             functools.partial(_marker_f_kernel,
-                              blocks_per_ring=blocks_per_ring, blk_w=blk_w),
+                              blocks_per_ring=blocks_per_ring, blk_w=blk_w,
+                              rows_per_step=k),
             in_specs=smem + [stream(), stream()],
             out_specs=state_spec,
             out_shape=jax.ShapeDtypeStruct((_BPAD, 8), F32),
@@ -372,7 +389,8 @@ def marker_points_unsorted_pallas(layout: RingLayout, num_rings, kf=None,
 
     st = pl.pallas_call(
         functools.partial(_marker_cand_kernel,
-                          blocks_per_ring=blocks_per_ring, blk_w=blk_w),
+                          blocks_per_ring=blocks_per_ring, blk_w=blk_w,
+                          rows_per_step=k),
         in_specs=smem + [state_spec, stream(), stream(), stream()],
         out_specs=state_spec,
         out_shape=jax.ShapeDtypeStruct((_BPAD, 8), F32),
