@@ -51,91 +51,106 @@ def _win_starts(win: int):
 
 
 def _blocked_kernel(bz_ref, counts_ref, w_ref, alpha_ref, label_ref,
-                    out_ref, state, *, blocks_per_ring: int, blk_w: int):
+                    out_ref, state, *, blocks_per_ring: int, blk_w: int,
+                    rows_per_step: int):
+    """rows_per_step is a multiple of blocks_per_ring (whole rings per grid
+    step), so the per-ring state reset/flush become STATIC per-j events of
+    the in-kernel row loop — the fold amortizes the fixed per-grid-step
+    cost (PERF.md round 4) and drops the two pl.when branches the unfolded
+    kernel paid per step."""
     step = pl.program_id(0)
-    ring = step // blocks_per_ring
-    blk = step % blocks_per_ring
-
-    @pl.when(blk == 0)
-    def _():
-        state[...] = jnp.zeros((_SPAD, 8), F32)
-
-    slot0 = blk * blk_w
-    slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
-    valid = slot < counts_ref[0, ring]
-
-    alpha = alpha_ref[0]  # (1, W)
-    label = label_ref[0]
-    curb = valid & (label == F32(LABEL_CURB))
-
-    # Block curb-azimuth range for the prechecks.  NaN azimuths are
-    # excluded here (they would poison the min/max) but kept raw in the
-    # in-window compares below, where IEEE NaN-compares-false reproduces
-    # the XLA/C++ "NaN never blocks" semantics.
-    a_fin = curb & (alpha >= F32(-_BIG)) & (alpha <= F32(_BIG))
-    amn = jnp.min(jnp.where(a_fin, alpha, F32(_BIG)))
-    amx = jnp.max(jnp.where(a_fin, alpha, F32(-_BIG)))
-
-    w = w_ref[0, ring]  # window width, degrees (f32; inf for empty rings)
-    ring_ge1 = ring >= 1
-    # Exact-equality specials only bind when 360-bz / bz are integral
-    # (starts are integers) — the `i_col == sp` compare below encodes that
-    # for free.  bz rides SMEM (dynamic operand, hot-swap without
-    # re-trace); `F32(360) - bz` matches sweep_bounds bit-for-bit.
     bz = bz_ref[0, 0]
     sp_f = F32(360) - bz
     sp_b = bz
 
-    for win in range(_NWIN):
-        s0 = F32(win * _WIN)
-        s1 = F32(win * _WIN + _WIN - 1)
-        i_col = _win_starts(win)
+    for j in range(rows_per_step):
+        row = step * rows_per_step + j
+        ring = row // blocks_per_ring
+        blk = j % blocks_per_ring  # static: rows_per_step % bpr == 0
+        ring_local = j // blocks_per_ring
 
-        # Forward sweep: window [i, i+w] (hi -> 360 at the special start).
-        # The special's hi=360 covers any amn; activating on a
-        # non-integral sp_f is harmless (no i_col can equal it).
-        act_f = ((s0 <= amx) & (s1 + w >= amn)) | (
-            (s0 <= sp_f) & (sp_f <= s1) & (sp_f <= amx))
+        if blk == 0:
+            state[...] = jnp.zeros((_SPAD, 8), F32)
 
-        @pl.when(act_f)
-        def _(win=win, i_col=i_col):
-            hi = jnp.where((i_col == sp_f) & ring_ge1, F32(360),
-                           i_col + w)
-            in_win = (alpha >= i_col) & (alpha <= hi) & curb  # (WIN, W)
-            got = jnp.max(jnp.where(in_win, F32(1), F32(0)), axis=1,
-                          keepdims=True)
-            state[pl.ds(win * _WIN, _WIN), 0:1] = jnp.maximum(
-                state[pl.ds(win * _WIN, _WIN), 0:1], got)
+        slot0 = blk * blk_w
+        slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
+        valid = slot < counts_ref[0, ring]
 
-        # Backward sweep: window [i-w, i] (lo -> 0 at the special start).
-        act_b = ((s1 >= amn) & (s0 <= amx + w)) | (
-            (s0 <= sp_b) & (sp_b <= s1) & (sp_b >= amn))
+        alpha = alpha_ref[j]  # (1, W)
+        label = label_ref[j]
+        curb = valid & (label == F32(LABEL_CURB))
 
-        @pl.when(act_b)
-        def _(win=win, i_col=i_col):
-            lo = jnp.where((i_col == sp_b) & ring_ge1, F32(0),
-                           i_col - w)
-            in_win = (alpha >= lo) & (alpha <= i_col) & curb
-            got = jnp.max(jnp.where(in_win, F32(1), F32(0)), axis=1,
-                          keepdims=True)
-            state[pl.ds(win * _WIN, _WIN), 1:2] = jnp.maximum(
-                state[pl.ds(win * _WIN, _WIN), 1:2], got)
+        # Block curb-azimuth range for the prechecks.  NaN azimuths are
+        # excluded here (they would poison the min/max) but kept raw in the
+        # in-window compares below, where IEEE NaN-compares-false
+        # reproduces the XLA/C++ "NaN never blocks" semantics.
+        a_fin = curb & (alpha >= F32(-_BIG)) & (alpha <= F32(_BIG))
+        amn = jnp.min(jnp.where(a_fin, alpha, F32(_BIG)))
+        amx = jnp.max(jnp.where(a_fin, alpha, F32(-_BIG)))
 
-    @pl.when(blk == blocks_per_ring - 1)
-    def _():
-        # (SPAD, 8) -> (8, SPAD) so the HBM output's minor dim is a full
-        # lane multiple (a minor dim of 8 tile-pads 16x in HBM — the
-        # padded writes cost more than this one small relayout per ring).
-        out_ref[0] = state[...].T
+        w = w_ref[0, ring]  # window width, degrees (f32; inf if empty)
+        ring_ge1 = ring >= 1
+        # Exact-equality specials only bind when 360-bz / bz are integral
+        # (starts are integers) — the `i_col == sp` compare below encodes
+        # that for free.  bz rides SMEM (dynamic operand, hot-swap without
+        # re-trace); `F32(360) - bz` matches sweep_bounds bit-for-bit.
+
+        for win in range(_NWIN):
+            s0 = F32(win * _WIN)
+            s1 = F32(win * _WIN + _WIN - 1)
+            i_col = _win_starts(win)
+
+            # Forward sweep: window [i, i+w] (hi -> 360 at the special
+            # start).  The special's hi=360 covers any amn; activating on
+            # a non-integral sp_f is harmless (no i_col can equal it).
+            act_f = ((s0 <= amx) & (s1 + w >= amn)) | (
+                (s0 <= sp_f) & (sp_f <= s1) & (sp_f <= amx))
+
+            @pl.when(act_f)
+            def _(win=win, i_col=i_col, alpha=alpha, curb=curb,
+                  ring_ge1=ring_ge1, w=w):
+                hi = jnp.where((i_col == sp_f) & ring_ge1, F32(360),
+                               i_col + w)
+                in_win = (alpha >= i_col) & (alpha <= hi) & curb  # (WIN, W)
+                got = jnp.max(jnp.where(in_win, F32(1), F32(0)), axis=1,
+                              keepdims=True)
+                state[pl.ds(win * _WIN, _WIN), 0:1] = jnp.maximum(
+                    state[pl.ds(win * _WIN, _WIN), 0:1], got)
+
+            # Backward sweep: window [i-w, i] (lo -> 0 at the special).
+            act_b = ((s1 >= amn) & (s0 <= amx + w)) | (
+                (s0 <= sp_b) & (sp_b <= s1) & (sp_b >= amn))
+
+            @pl.when(act_b)
+            def _(win=win, i_col=i_col, alpha=alpha, curb=curb,
+                  ring_ge1=ring_ge1, w=w):
+                lo = jnp.where((i_col == sp_b) & ring_ge1, F32(0),
+                               i_col - w)
+                in_win = (alpha >= lo) & (alpha <= i_col) & curb
+                got = jnp.max(jnp.where(in_win, F32(1), F32(0)), axis=1,
+                              keepdims=True)
+                state[pl.ds(win * _WIN, _WIN), 1:2] = jnp.maximum(
+                    state[pl.ds(win * _WIN, _WIN), 1:2], got)
+
+        if blk == blocks_per_ring - 1:
+            # (SPAD, 8) -> (8, SPAD) so the HBM output's minor dim is a
+            # full lane multiple (a minor dim of 8 tile-pads 16x in HBM —
+            # the padded writes cost more than this small relayout/ring).
+            out_ref[ring_local] = state[...].T
 
 
-def blocked_pallas(layout, w, bz, interpret: bool = False):
+def blocked_pallas(layout, w, bz, interpret: bool = False,
+                   rows_per_step: int = 8):
     """(blocked_fwd, blocked_bwd), each (R, 362) bool: any curb point of
     ring k inside the sweep window of start i (ops/blind_spots.py
     `blocked_bits` for both sweep directions in one pass)."""
     r, p = layout.alpha.shape
     blk_w = math.gcd(p, 1024)  # largest power-of-two divisor of p <= 1024
     blocks_per_ring = p // blk_w
+    # Whole rings per grid step: k = bpr * m with m | r, m ~ rows_per_step
+    # / bpr (the per-ring state flush must land inside one step).
+    m = math.gcd(r, max(1, rows_per_step // blocks_per_ring))
+    k = blocks_per_ring * m
 
     counts = layout.counts.astype(I32).reshape(1, r)
     w2 = w.astype(F32).reshape(1, r)
@@ -146,8 +161,8 @@ def blocked_pallas(layout, w, bz, interpret: bool = False):
 
     out = pl.pallas_call(
         functools.partial(_blocked_kernel, blocks_per_ring=blocks_per_ring,
-                          blk_w=blk_w),
-        grid=(r * blocks_per_ring,),
+                          blk_w=blk_w, rows_per_step=k),
+        grid=(r * blocks_per_ring // k,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # beam zone
@@ -155,11 +170,10 @@ def blocked_pallas(layout, w, bz, interpret: bool = False):
                          memory_space=pltpu.SMEM),  # counts
             pl.BlockSpec((1, r), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # window widths
-            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
-            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # label
+            pl.BlockSpec((k, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
+            pl.BlockSpec((k, 1, blk_w), lambda i: (i, 0, 0)),  # label
         ],
-        out_specs=pl.BlockSpec((1, 8, _SPAD),
-                               lambda i: (i // blocks_per_ring, 0, 0)),
+        out_specs=pl.BlockSpec((m, 8, _SPAD), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((r, 8, _SPAD), F32),
         scratch_shapes=[pltpu.VMEM((_SPAD, 8), F32)],
         interpret=interpret,
@@ -168,16 +182,38 @@ def blocked_pallas(layout, w, bz, interpret: bool = False):
 
 
 def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
-                    out_ref, *, blocks_per_ring: int, blk_w: int, r: int):
+                    out_ref, *, blocks_per_ring: int, blk_w: int, r: int,
+                    rows_per_step: int):
+    """rows_per_step (ring, blk) rows per grid step (in-kernel loop) —
+    amortizes the fixed per-grid-step cost (PERF.md round 4); per-row work
+    and results are unchanged."""
     step = pl.program_id(0)
-    ring = step // blocks_per_ring
-    blk = step % blocks_per_ring
+    bz = bz_ref[0, 0]
+    sp_f = F32(360) - bz
+    sp_b = bz
+    # This ring's reach columns (fwd at `ring`, bwd at `r + ring`) out of
+    # the lane-resident (SPAD, 2R) table, extracted by masked lane-reduce
+    # (a width-1 dynamic lane slice is not liftable; a (SPAD, 2R) select +
+    # reduce is one cheap VPU pass and keeps every HBM array lane-major).
+    lane = jax.lax.broadcasted_iota(I32, (_SPAD, 2 * r), 1)
+    tbl = reach_ref[...]
+
+    for j in range(rows_per_step):
+        _labeled_row(j, step * rows_per_step + j, counts_ref, w_ref,
+                     alpha_ref, out_ref, lane, tbl, sp_f, sp_b,
+                     blocks_per_ring=blocks_per_ring, blk_w=blk_w, r=r)
+
+
+def _labeled_row(j, row, counts_ref, w_ref, alpha_ref, out_ref, lane, tbl,
+                 sp_f, sp_b, *, blocks_per_ring: int, blk_w: int, r: int):
+    ring = row // blocks_per_ring
+    blk = row % blocks_per_ring
 
     slot0 = blk * blk_w
     slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
     valid = slot < counts_ref[0, ring]
 
-    alpha = alpha_ref[0]  # (1, W)
+    alpha = alpha_ref[j]  # (1, W)
     a_ok = valid & (alpha >= 0) & (alpha <= F32(360))  # NaN/inf excluded
 
     amn = jnp.min(jnp.where(a_ok, alpha, F32(_BIG)))
@@ -185,22 +221,13 @@ def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
 
     w = w_ref[0, ring]
     ring_ge1 = ring >= 1
-    bz = bz_ref[0, 0]
-    sp_f = F32(360) - bz
-    sp_b = bz
 
-    # This ring's reach columns (fwd at `ring`, bwd at `r + ring`) out of
-    # the lane-resident (SPAD, 2R) table, extracted by masked lane-reduce
-    # (a width-1 dynamic lane slice is not liftable; a (SPAD, 2R) select +
-    # reduce is one cheap VPU pass and keeps every HBM array lane-major).
-    lane = jax.lax.broadcasted_iota(I32, (_SPAD, 2 * r), 1)
-    tbl = reach_ref[...]
     reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
                       keepdims=True)  # (SPAD, 1)
     reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)), axis=1,
                       keepdims=True)
 
-    out_ref[...] = jnp.zeros_like(out_ref)
+    out_ref[j] = jnp.zeros((1, blk_w), F32)
 
     for win in range(_NWIN):
         s0 = F32(win * _WIN)
@@ -222,7 +249,7 @@ def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
             cond = (reach > 0) & (alpha >= i_col) & (alpha <= hi)
             got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
                           keepdims=True)  # (1, W)
-            out_ref[0] = jnp.maximum(out_ref[0], got)
+            out_ref[j] = jnp.maximum(out_ref[j], got)
 
         # Backward: alpha in [i-w, i] -> i in [alpha, alpha+w].
         act_b = ((s1 >= amn) & (s0 <= amx + w)) | (
@@ -236,126 +263,138 @@ def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
             cond = (reach > 0) & (alpha >= lo) & (alpha <= i_col)
             got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
                           keepdims=True)
-            out_ref[0] = jnp.maximum(out_ref[0], got)
+            out_ref[j] = jnp.maximum(out_ref[j], got)
 
     # Padding / invalid-azimuth slots never take a label.
-    out_ref[0] = jnp.where(a_ok, out_ref[0], F32(0))
+    out_ref[j] = jnp.where(a_ok, out_ref[j], F32(0))
 
 
 def _labeled_markerf_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
                             label_ref, out_ref, kf_ref, state, *,
-                            blocks_per_ring: int, blk_w: int, r: int):
+                            blocks_per_ring: int, blk_w: int, r: int,
+                            rows_per_step: int):
     """labeled + marker pass 1 FUSED (round 3): the road mask this kernel
     computes per block determines exactly which slots are NON-ROAD after
     the flood fill, so the sort-free marker path's per-bin lexicographic
     (ring, alpha, slot) non-road minimum (ops/marker_scan._marker_f_kernel)
     folds into the same streaming pass — one fewer kernel and one fewer
     read of the alpha stream (the separate pass cost 13.8 ms/step at b128,
-    device trace r3)."""
+    device trace r3).
+
+    rows_per_step (ring, blk) rows ride one grid step (an in-kernel loop),
+    amortizing the fixed per-grid-step cost (PERF.md round 4).  Per-row
+    work is unchanged; the marker key fold is order-independent, so the
+    fold is bit-exact."""
     step = pl.program_id(0)
-    ring = step // blocks_per_ring
-    blk = step % blocks_per_ring
 
     @pl.when(step == 0)
     def _():
         state[...] = jnp.full((_SPAD, 8), 3.0e38, F32)
 
-    slot0 = blk * blk_w
-    slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
-    valid = slot < counts_ref[0, ring]
-
-    alpha = alpha_ref[0]  # (1, W)
-    a_ok = valid & (alpha >= 0) & (alpha <= F32(360))  # NaN/inf excluded
-
-    amn = jnp.min(jnp.where(a_ok, alpha, F32(_BIG)))
-    amx = jnp.max(jnp.where(a_ok, alpha, F32(-_BIG)))
-
-    w = w_ref[0, ring]
-    ring_ge1 = ring >= 1
     bz = bz_ref[0, 0]
     sp_f = F32(360) - bz
     sp_b = bz
-
     lane = jax.lax.broadcasted_iota(I32, (_SPAD, 2 * r), 1)
     tbl = reach_ref[...]
-    reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
-                      keepdims=True)  # (SPAD, 1)
-    reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)), axis=1,
-                      keepdims=True)
 
-    out_ref[...] = jnp.zeros_like(out_ref)
+    for j in range(rows_per_step):
+        row = step * rows_per_step + j
+        ring = row // blocks_per_ring
+        blk = row % blocks_per_ring
+        slot0 = blk * blk_w
+        slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
+        valid = slot < counts_ref[0, ring]
 
-    for win in range(_NWIN):
-        s0 = F32(win * _WIN)
-        s1 = F32(win * _WIN + _WIN - 1)
-        i_col = _win_starts(win)
+        alpha = alpha_ref[j]  # (1, W)
+        a_ok = valid & (alpha >= 0) & (alpha <= F32(360))  # NaN/inf out
 
-        act_f = ((s0 <= amx) & (s1 + w >= amn)) | (
-            (s0 <= sp_f) & (sp_f <= s1) & (sp_f <= amx))
+        amn = jnp.min(jnp.where(a_ok, alpha, F32(_BIG)))
+        amx = jnp.max(jnp.where(a_ok, alpha, F32(-_BIG)))
 
-        @pl.when(act_f)
-        def _(win=win, i_col=i_col):
-            reach = reach_f[win * _WIN:(win + 1) * _WIN, 0:1]
-            hi = jnp.where((i_col == sp_f) & ring_ge1, F32(360),
-                           i_col + w)
-            cond = (reach > 0) & (alpha >= i_col) & (alpha <= hi)
-            got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
+        w = w_ref[0, ring]
+        ring_ge1 = ring >= 1
+
+        reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
+                          keepdims=True)  # (SPAD, 1)
+        reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)), axis=1,
                           keepdims=True)
-            out_ref[0] = jnp.maximum(out_ref[0], got)
 
-        act_b = ((s1 >= amn) & (s0 <= amx + w)) | (
-            (s0 <= sp_b) & (sp_b <= s1) & (sp_b >= amn))
+        out_ref[j] = jnp.zeros((1, blk_w), F32)
 
-        @pl.when(act_b)
-        def _(win=win, i_col=i_col):
-            reach = reach_b[win * _WIN:(win + 1) * _WIN, 0:1]
-            lo = jnp.where((i_col == sp_b) & ring_ge1, F32(0),
-                           i_col - w)
-            cond = (reach > 0) & (alpha >= lo) & (alpha <= i_col)
-            got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
-                          keepdims=True)
-            out_ref[0] = jnp.maximum(out_ref[0], got)
+        for win in range(_NWIN):
+            s0 = F32(win * _WIN)
+            s1 = F32(win * _WIN + _WIN - 1)
+            i_col = _win_starts(win)
 
-    # Padding / invalid-azimuth slots never take a label.
-    out_ref[0] = jnp.where(a_ok, out_ref[0], F32(0))
+            act_f = ((s0 <= amx) & (s1 + w >= amn)) | (
+                (s0 <= sp_f) & (sp_f <= s1) & (sp_f <= amx))
 
-    # ---- marker pass 1 on the block's FINAL road state ----
-    # Post-flood label == ROAD  <=>  road mask & pre-label != CURB (the
-    # sweeps are the only road writer; pre-labels are {0, CURB}).
-    label = label_ref[0]
-    road_fin = (out_ref[0] > 0) & (label != F32(LABEL_CURB))
-    nonroad = a_ok & ~road_fin
-    binf = jnp.where(nonroad, jnp.floor(alpha), F32(-1.0))
-    bmn2 = jnp.min(jnp.where(nonroad, binf, F32(_BIG)))
-    bmx2 = jnp.max(jnp.where(nonroad, binf, F32(-1.0)))
-    ring_f = F32(1) * ring  # keys < 2^24: f32-exact
-    slot_f = slot.astype(F32)
+            @pl.when(act_f)
+            def _(win=win, i_col=i_col, j=j, alpha=alpha, reach_f=reach_f,
+                  ring_ge1=ring_ge1, w=w):
+                reach = reach_f[win * _WIN:(win + 1) * _WIN, 0:1]
+                hi = jnp.where((i_col == sp_f) & ring_ge1, F32(360),
+                               i_col + w)
+                cond = (reach > 0) & (alpha >= i_col) & (alpha <= hi)
+                got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
+                              keepdims=True)
+                out_ref[j] = jnp.maximum(out_ref[j], got)
 
-    for win in range(_NWIN):
-        lo = F32(win * _WIN)
+            act_b = ((s1 >= amn) & (s0 <= amx + w)) | (
+                (s0 <= sp_b) & (sp_b <= s1) & (sp_b >= amn))
 
-        @pl.when((bmx2 >= lo) & (bmn2 < lo + _WIN))
-        def _(win=win, lo=lo):
-            bins = lo + jax.lax.broadcasted_iota(
-                I32, (_WIN, blk_w), 0).astype(F32)
-            nr = (bins == binf) & nonroad  # (WIN, W)
-            a_min = jnp.min(jnp.where(nr, alpha, F32(_BIG)), axis=1,
-                            keepdims=True)
-            s_min = jnp.min(jnp.where(nr & (alpha == a_min), slot_f,
-                                      F32(_BIG)), axis=1, keepdims=True)
-            st = state[pl.ds(win * _WIN, _WIN), :]
-            kf_r, kf_a, kf_s = st[:, 0:1], st[:, 1:2], st[:, 2:3]
-            has = a_min < F32(_BIG)
-            better = has & ((ring_f < kf_r) | (
-                (ring_f == kf_r) & ((a_min < kf_a) | (
-                    (a_min == kf_a) & (s_min < kf_s)))))
-            new = jnp.concatenate([
-                jnp.where(better, ring_f, kf_r),
-                jnp.where(better, a_min, kf_a),
-                jnp.where(better, s_min, kf_s),
-                st[:, 3:8],
-            ], axis=1)
-            state[pl.ds(win * _WIN, _WIN), :] = new
+            @pl.when(act_b)
+            def _(win=win, i_col=i_col, j=j, alpha=alpha, reach_b=reach_b,
+                  ring_ge1=ring_ge1, w=w):
+                reach = reach_b[win * _WIN:(win + 1) * _WIN, 0:1]
+                lo = jnp.where((i_col == sp_b) & ring_ge1, F32(0),
+                               i_col - w)
+                cond = (reach > 0) & (alpha >= lo) & (alpha <= i_col)
+                got = jnp.max(jnp.where(cond, F32(1), F32(0)), axis=0,
+                              keepdims=True)
+                out_ref[j] = jnp.maximum(out_ref[j], got)
+
+        # Padding / invalid-azimuth slots never take a label.
+        out_ref[j] = jnp.where(a_ok, out_ref[j], F32(0))
+
+        # ---- marker pass 1 on the block's FINAL road state ----
+        # Post-flood label == ROAD  <=>  road mask & pre-label != CURB (the
+        # sweeps are the only road writer; pre-labels are {0, CURB}).
+        label = label_ref[j]
+        road_fin = (out_ref[j] > 0) & (label != F32(LABEL_CURB))
+        nonroad = a_ok & ~road_fin
+        binf = jnp.where(nonroad, jnp.floor(alpha), F32(-1.0))
+        bmn2 = jnp.min(jnp.where(nonroad, binf, F32(_BIG)))
+        bmx2 = jnp.max(jnp.where(nonroad, binf, F32(-1.0)))
+        ring_f = F32(1) * ring  # keys < 2^24: f32-exact
+        slot_f = slot.astype(F32)
+
+        for win in range(_NWIN):
+            lo = F32(win * _WIN)
+
+            @pl.when((bmx2 >= lo) & (bmn2 < lo + _WIN))
+            def _(win=win, lo=lo, alpha=alpha, nonroad=nonroad, binf=binf,
+                  slot_f=slot_f, ring_f=ring_f):
+                bins = lo + jax.lax.broadcasted_iota(
+                    I32, (_WIN, blk_w), 0).astype(F32)
+                nr = (bins == binf) & nonroad  # (WIN, W)
+                a_min = jnp.min(jnp.where(nr, alpha, F32(_BIG)), axis=1,
+                                keepdims=True)
+                s_min = jnp.min(jnp.where(nr & (alpha == a_min), slot_f,
+                                          F32(_BIG)), axis=1, keepdims=True)
+                st = state[pl.ds(win * _WIN, _WIN), :]
+                kf_r, kf_a, kf_s = st[:, 0:1], st[:, 1:2], st[:, 2:3]
+                has = a_min < F32(_BIG)
+                better = has & ((ring_f < kf_r) | (
+                    (ring_f == kf_r) & ((a_min < kf_a) | (
+                        (a_min == kf_a) & (s_min < kf_s)))))
+                new = jnp.concatenate([
+                    jnp.where(better, ring_f, kf_r),
+                    jnp.where(better, a_min, kf_a),
+                    jnp.where(better, s_min, kf_s),
+                    st[:, 3:8],
+                ], axis=1)
+                state[pl.ds(win * _WIN, _WIN), :] = new
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
@@ -363,7 +402,7 @@ def _labeled_markerf_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
 
 
 def labeled_markerf_pallas(layout, reach_f, reach_b, w, bz,
-                           interpret: bool = False):
+                           interpret: bool = False, rows_per_step: int = 8):
     """(road_mask (R, P) bool, kf (384, 8) f32): the flood labeled mask AND
     the marker stage's per-bin non-road key minimum in one streaming pass
     (see _labeled_markerf_kernel).  kf feeds
@@ -371,6 +410,8 @@ def labeled_markerf_pallas(layout, reach_f, reach_b, w, bz,
     r, p = layout.alpha.shape
     blk_w = math.gcd(p, 1024)
     blocks_per_ring = p // blk_w
+    n_rows = r * blocks_per_ring
+    k = math.gcd(n_rows, rows_per_step)
 
     counts = layout.counts.astype(I32).reshape(1, r)
     w2 = w.astype(F32).reshape(1, r)
@@ -379,13 +420,14 @@ def labeled_markerf_pallas(layout, reach_f, reach_b, w, bz,
     reach = jnp.pad(reach, ((0, 0), (0, _SPAD - reach.shape[1]))).T
 
     def blk3(a):
-        return a.reshape(r * blocks_per_ring, 1, blk_w)
+        return a.reshape(n_rows, 1, blk_w)
 
     bzs = jnp.asarray(bz, F32).reshape(1, 1)
     out, kf = pl.pallas_call(
         functools.partial(_labeled_markerf_kernel,
-                          blocks_per_ring=blocks_per_ring, blk_w=blk_w, r=r),
-        grid=(r * blocks_per_ring,),
+                          blocks_per_ring=blocks_per_ring, blk_w=blk_w, r=r,
+                          rows_per_step=k),
+        grid=(n_rows // k,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # beam zone
@@ -394,13 +436,12 @@ def labeled_markerf_pallas(layout, reach_f, reach_b, w, bz,
             pl.BlockSpec((1, r), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # window widths
             pl.BlockSpec((_SPAD, 2 * r), lambda i: (0, 0)),  # reach table
-            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
-            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # labels
+            pl.BlockSpec((k, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
+            pl.BlockSpec((k, 1, blk_w), lambda i: (i, 0, 0)),  # labels
         ],
-        out_specs=(pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),
+        out_specs=(pl.BlockSpec((k, 1, blk_w), lambda i: (i, 0, 0)),
                    pl.BlockSpec((_SPAD, 8), lambda i: (0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((r * blocks_per_ring, 1, blk_w),
-                                        F32),
+        out_shape=(jax.ShapeDtypeStruct((n_rows, 1, blk_w), F32),
                    jax.ShapeDtypeStruct((_SPAD, 8), F32)),
         scratch_shapes=[pltpu.VMEM((_SPAD, 8), F32)],
         interpret=interpret,
@@ -410,7 +451,7 @@ def labeled_markerf_pallas(layout, reach_f, reach_b, w, bz,
 
 
 def labeled_pallas(layout, reach_f, reach_b, w, bz,
-                   interpret: bool = False):
+                   interpret: bool = False, rows_per_step: int = 8):
     """(R, P) bool road mask: slot reachable by any start of either sweep
     (ops/blind_spots.py `labeled_mask` for both sweeps in one pass).
     reach_f/reach_b: (R, 362) bool (already gated on active & ~gate &
@@ -418,6 +459,8 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz,
     r, p = layout.alpha.shape
     blk_w = math.gcd(p, 1024)  # largest power-of-two divisor of p <= 1024
     blocks_per_ring = p // blk_w
+    n_rows = r * blocks_per_ring
+    k = math.gcd(n_rows, rows_per_step)
 
     counts = layout.counts.astype(I32).reshape(1, r)
     w2 = w.astype(F32).reshape(1, r)
@@ -435,8 +478,8 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz,
     bzs = jnp.asarray(bz, F32).reshape(1, 1)
     out = pl.pallas_call(
         functools.partial(_labeled_kernel, blocks_per_ring=blocks_per_ring,
-                          blk_w=blk_w, r=r),
-        grid=(r * blocks_per_ring,),
+                          blk_w=blk_w, r=r, rows_per_step=k),
+        grid=(n_rows // k,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # beam zone
@@ -445,10 +488,10 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz,
             pl.BlockSpec((1, r), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),  # window widths
             pl.BlockSpec((_SPAD, 2 * r), lambda i: (0, 0)),  # reach table
-            pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
+            pl.BlockSpec((k, 1, blk_w), lambda i: (i, 0, 0)),  # alpha
         ],
-        out_specs=pl.BlockSpec((1, 1, blk_w), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((r * blocks_per_ring, 1, blk_w), F32),
+        out_specs=pl.BlockSpec((k, 1, blk_w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 1, blk_w), F32),
         interpret=interpret,
     )(bzs, counts, w2, reach, blk3(layout.alpha))
     return out.reshape(r, p) > 0
