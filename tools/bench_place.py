@@ -26,6 +26,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, nargs="+",
                     default=[1024, 2048, 4096])
+    ap.add_argument("--cps", type=int, nargs="+", default=[1],
+                    help="chunks_per_step values to sweep")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -60,25 +62,29 @@ def main():
 
     want = None
     for chunk in args.chunks:
-        fn = jax.jit(jax.vmap(lambda i_, p_, x_, y_, z_: group_place_pallas(
-            i_, p_, [x_, y_, z_], rings, cap, limb_counts=(3, 3, 3),
-            chunk=chunk)))
-        try:
-            outs = fn(ids_b, pos_b, *f_b)
-            got = np.asarray(outs[0][0])
-        except Exception as e:  # noqa: BLE001 — report and continue sweep
-            print(f"chunk={chunk:5d}  FAILED: {str(e)[:120]}", flush=True)
-            continue
-        if want is None:
-            want = got
-        exact = np.array_equal(got, want)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            outs = fn(ids_b, pos_b, *f_b)
-            np.asarray(outs[0][0, :1])
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f"chunk={chunk:5d}  {dt*1e3:8.2f} ms/step  "
-              f"({dt*1e6/b:7.1f} us/scan)  exact={exact}", flush=True)
+        for cps in args.cps:
+            fn = jax.jit(jax.vmap(
+                lambda i_, p_, x_, y_, z_, chunk=chunk, cps=cps:
+                group_place_pallas(
+                    i_, p_, [x_, y_, z_], rings, cap, limb_counts=(3, 3, 3),
+                    chunk=chunk, chunks_per_step=cps)))
+            try:
+                outs = fn(ids_b, pos_b, *f_b)
+                got = np.asarray(outs[0][0])
+            except Exception as e:  # noqa: BLE001 — report, continue sweep
+                print(f"chunk={chunk:5d} cps={cps:2d}  FAILED: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
+            if want is None:
+                want = got
+            exact = np.array_equal(got, want)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                outs = fn(ids_b, pos_b, *f_b)
+                np.asarray(outs[0][0, :1])
+            dt = (time.perf_counter() - t0) / args.iters
+            print(f"chunk={chunk:5d} cps={cps:2d}  {dt*1e3:8.2f} ms/step  "
+                  f"({dt*1e6/b:7.1f} us/scan)  exact={exact}", flush=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, nargs="+", default=[8, 16, 32, 64, 128])
+    ap.add_argument("--bps", type=int, nargs="+", default=[1],
+                    help="blocks_per_step values to sweep")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -45,21 +47,24 @@ def main():
     np.asarray(jnp.zeros((8,), jnp.int32))  # tunnel warm-up
 
     for rows in args.rows:
-        fn = jax.jit(jax.vmap(functools.partial(
-            _pallas_rank, num_groups=groups, rows=rows)))
-        try:
-            pos, counts = fn(ids_b)
-            np.asarray(pos[0, :8])
-        except Exception as e:  # noqa: BLE001 — report and continue sweep
-            print(f"rows={rows:4d}  FAILED: {str(e)[:120]}", flush=True)
-            continue
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            pos, _ = fn(ids_b)
-            np.asarray(pos[0, :8])
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f"rows={rows:4d}  {dt*1e3:8.2f} ms/step  "
-              f"({dt*1e6/args.batch:7.1f} us/scan)", flush=True)
+        for bps in args.bps:
+            fn = jax.jit(jax.vmap(functools.partial(
+                _pallas_rank, num_groups=groups, rows=rows,
+                blocks_per_step=bps)))
+            try:
+                pos, counts = fn(ids_b)
+                np.asarray(pos[0, :8])
+            except Exception as e:  # noqa: BLE001 — report, continue sweep
+                print(f"rows={rows:4d} bps={bps:2d}  FAILED: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                pos, _ = fn(ids_b)
+                np.asarray(pos[0, :8])
+            dt = (time.perf_counter() - t0) / args.iters
+            print(f"rows={rows:4d} bps={bps:2d}  {dt*1e3:8.2f} ms/step  "
+                  f"({dt*1e6/args.batch:7.1f} us/scan)", flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ full MXU rate.  Falls back to a plain fancy-index gather off-TPU.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,15 +40,25 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, acc, *, g_pad: int,
-                   pack: int):
+                   pack: int, chunks_per_step: int):
+    """chunks_per_step chunks ride one grid step (in-kernel loop, shared
+    acc scratch reused serially) — amortizes the fixed per-grid-step cost
+    (PERF.md round 4) without growing the (g_pad, chunk) accumulator."""
+    for c in range(chunks_per_step):
+        _gather_chunk(ids_ref, pos_ref, table_ref, out_ref, acc, c,
+                      g_pad=g_pad, pack=pack)
+
+
+def _gather_chunk(ids_ref, pos_ref, table_ref, out_ref, acc, ci, *,
+                  g_pad: int, pack: int):
     # Transpose-free layout: every tensor keeps the POINT axis on lanes.
     # The round-2a version reshaped pos/ids to (C, 1) and row-reduced over
     # lanes — three lane<->sublane relayouts per chunk that dominated the
     # kernel (6.8 ms/step at batch 16).  Here the one-hots put the table
     # axis on sublanes (iota dim 0), the MXU contracts the sublane dims,
     # and the final reduce runs over sublanes (cheap on TPU).
-    ids = ids_ref[0]  # (1, C)
-    pos = pos_ref[0]  # (1, C)
+    ids = ids_ref[ci]  # (1, C)
+    pos = pos_ref[ci]  # (1, C)
     table_t = table_ref[...]  # (capacity / pack, g_pad) bf16
 
     c = ids.shape[1]
@@ -84,11 +95,12 @@ def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, acc, *, g_pad: int,
         word = out.astype(I32)
         shift = 2 * (pos % pack)
         out = (jax.lax.shift_right_logical(word, shift) & 3).astype(F32)
-    out_ref[...] = out.reshape(1, 1, c)
+    out_ref[ci] = out.reshape(1, c)
 
 
 def gather_by_group_pos(table, ids, pos, interpret: bool = False,
-                        pack: int = 1, chunk: int = _C):
+                        pack: int = 1, chunk: int = _C,
+                        chunks_per_step: int = 2):
     """table: (num_groups, capacity) f32 with bf16-exact values;
     ids/pos: (N,) int32.  Returns (N,) f32; out-of-range -> 0.
     pack=4 requires table values in {0..3}: four 2-bit values are packed
@@ -122,20 +134,23 @@ def gather_by_group_pos(table, ids, pos, interpret: bool = False,
     ids2 = prep(ids, I32(g_pad))  # pad rows match no group -> 0
     pos2 = prep(pos, I32(capacity))
 
+    n_chunks = n_pad // chunk
+    cs = math.gcd(n_chunks, chunks_per_step)
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, g_pad=g_pad, pack=pack),
-        grid=(n_pad // chunk,),
+        functools.partial(_gather_kernel, g_pad=g_pad, pack=pack,
+                          chunks_per_step=cs),
+        grid=(n_chunks // cs,),
         in_specs=[
-            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+            pl.BlockSpec((cs, 1, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+            pl.BlockSpec((cs, 1, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((capacity // pack, g_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((cs, 1, chunk), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad // chunk, 1, chunk), F32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 1, chunk), F32),
         scratch_shapes=[pltpu.VMEM((g_pad, chunk), F32)],
         interpret=interpret,
     )(ids2, pos2, table_t)

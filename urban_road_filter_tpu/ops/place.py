@@ -18,6 +18,7 @@ Falls back to the unique-indices XLA scatter on non-TPU backends.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,18 +40,20 @@ def _round_up(v: int, m: int) -> int:
 
 def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
                   n_groups_pad: int, col_w: int, cols_per_super: int,
-                  n_fields: int, limb_counts: tuple):
+                  n_fields: int, limb_counts: tuple, chunks_per_step: int):
     # `active_ref` lives in SMEM (not scalar-prefetch: jax's vmap batching
     # rule for PrefetchScalarGridSpec falls back to INTERPRET mode, which
     # cost the batched pipeline ~14 ms/step as an XLA while-loop emulation —
     # device-trace r2).  A data-dependent pl.when on an SMEM scalar lowers
     # to a Mosaic scf.if and keeps the column-panel skipping.
     #
-    # Grid layout: (super-panel, chunk).  The column-panel loop runs INSIDE
-    # the kernel — a (cols, chunks) grid paid ~8x the per-step fixed cost
-    # (block DMA issue + grid bookkeeping) on steps whose body was skipped,
-    # which dominated the kernel at full batch (90 ms/step at b128,
-    # device-trace r2 step 13).
+    # Grid layout: (super-panel, chunk-group).  The column-panel loop runs
+    # INSIDE the kernel — a (cols, chunks) grid paid ~8x the per-step fixed
+    # cost (block DMA issue + grid bookkeeping) on steps whose body was
+    # skipped, which dominated the kernel at full batch (90 ms/step at
+    # b128, device-trace r2 step 13).  chunks_per_step chunks ride one grid
+    # step for the same reason (the fixed per-step cost was still the
+    # dominant term at one 2048-point chunk per step, PERF.md round 4).
     super_ = pl.program_id(0)
     step = pl.program_id(1)
 
@@ -59,9 +62,20 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     col0 = super_ * cols_per_super
-    act_any = active_ref[col0, step]
+    for c in range(chunks_per_step):
+        _place_chunk(active_ref, ids_ref, pos_ref, vals_ref, out_ref,
+                     step * chunks_per_step + c, c, col0,
+                     n_groups_pad=n_groups_pad, col_w=col_w,
+                     cols_per_super=cols_per_super,
+                     limb_counts=limb_counts)
+
+
+def _place_chunk(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
+                 c, col0, *, n_groups_pad: int, col_w: int,
+                 cols_per_super: int, limb_counts: tuple):
+    act_any = active_ref[col0, chunk_i]
     for j in range(1, cols_per_super):
-        act_any += active_ref[col0 + j, step]
+        act_any += active_ref[col0 + j, chunk_i]
 
     # Column-panel skipping: LiDAR points arrive in firing (azimuth-major)
     # order, so a _C-point chunk advances every ring's write head by only
@@ -70,9 +84,9 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
     # any point; the rest skip the A-build and the MXU product entirely.
     @pl.when(act_any > 0)
     def _():
-        ids = ids_ref[0]  # (1, C)
-        pos = pos_ref[0]  # (1, C)
-        vals = vals_ref[0]  # (n_fields, C)
+        ids = ids_ref[c]  # (1, C)
+        pos = pos_ref[c]  # (1, C)
+        vals = vals_ref[c]  # (n_fields, C)
 
         # The MXU's default f32 path truncates operands to one bf16 pass,
         # which would mangle value mantissas (and Mosaic supports no HIGH
@@ -102,7 +116,7 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
             sum(limb_counts) * n_groups_pad, ids.shape[1])
 
         for j in range(cols_per_super):
-            @pl.when(active_ref[col0 + j, step] > 0)
+            @pl.when(active_ref[col0 + j, chunk_i] > 0)
             def _(j=j):
                 # This panel owns output columns [(col0+j)*col_w, +col_w).
                 # One-hot built TRANSPOSED (col_w on sublanes) so `pos`
@@ -141,7 +155,7 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
 
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
                        limb_counts=None, interpret: bool = False,
-                       chunk: int = _C):
+                       chunk: int = _C, chunks_per_step: int = 2):
     """fields: list of (N,) arrays (cast to f32; exact for int32 |v|<2^24).
     limb_counts: per-field bf16 limb count (1 suffices for values needing
     <=8 mantissa bits, e.g. small label enums; default 3 = full f32).
@@ -206,17 +220,18 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
         jnp.arange(n_cols, dtype=I32)[:, None, None], axis=2).astype(I32)
 
     n_chunks = n_pad // chunk
+    cs = math.gcd(n_chunks, chunks_per_step)
     out = pl.pallas_call(
         functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
                           cols_per_super=cols_per_super, n_fields=nf,
-                          limb_counts=limb_counts),
-        grid=(n_super, n_chunks),
+                          limb_counts=limb_counts, chunks_per_step=cs),
+        grid=(n_super, n_chunks // cs),
         in_specs=[
             pl.BlockSpec((n_cols, n_chunks), lambda s, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, chunk), lambda s, i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda s, i: (i, 0, 0)),
-            pl.BlockSpec((1, nf, chunk), lambda s, i: (i, 0, 0)),
+            pl.BlockSpec((cs, 1, chunk), lambda s, i: (i, 0, 0)),
+            pl.BlockSpec((cs, 1, chunk), lambda s, i: (i, 0, 0)),
+            pl.BlockSpec((cs, nf, chunk), lambda s, i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nf * g_pad, super_w), lambda s, i: (0, s)),
         out_shape=jax.ShapeDtypeStruct((nf * g_pad, n_super * super_w), F32),

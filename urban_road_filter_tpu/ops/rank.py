@@ -20,6 +20,7 @@ Implementations:
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +40,11 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
-                 rows: int):
+                 rows: int, blocks_per_step: int):
+    """blocks_per_step row-blocks ride one grid step (an in-kernel loop):
+    per-block compute (one-hot cube, two prefix matmuls, select) is
+    unchanged, but the grid's fixed per-step cost is amortized
+    blocks_per_step x (PERF.md round 4)."""
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -47,7 +52,16 @@ def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
     def _():
         running[...] = jnp.zeros_like(running)
 
-    ids = ids_ref[...]  # (rows, LANES) int32, row-major point order
+    for c in range(blocks_per_step):
+        _rank_block(ids_ref, pos_ref, running, c, g_pad=g_pad, rows=rows)
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        counts_ref[...] = running[...]
+
+
+def _rank_block(ids_ref, pos_ref, running, c, *, g_pad: int, rows: int):
+    ids = ids_ref[c * rows:(c + 1) * rows]  # (rows, LANES) i32, point order
 
     # MXU-prefix formulation (round-3 variant sweep, tools/
     # bench_rank_variants.py: 51.8 -> 47.7 ms/step at b128): the one-hot
@@ -86,28 +100,27 @@ def _rank_kernel(ids_ref, pos_ref, counts_ref, running, *, g_pad: int,
     # lowers to a longer sequence than the where+reduce.)
     tot = p_t + base[None, :, :]
     sel = jnp.sum(jnp.where(oh_t, tot, jnp.float32(0)), axis=2)  # (L, rows)
-    pos_ref[...] = sel.astype(I32).T
+    pos_ref[c * rows:(c + 1) * rows] = sel.astype(I32).T
     running[0:1, :] = running[0:1, :] + jnp.sum(rowcnt, axis=0, keepdims=True)
-
-    @pl.when(step == n_steps - 1)
-    def _():
-        counts_ref[...] = running[...]
 
 
 def _pallas_rank(ids: jax.Array, num_groups: int, interpret: bool = False,
-                 rows: int = _ROWS):
+                 rows: int = _ROWS, blocks_per_step: int = 2):
     n = ids.shape[0]
     g_pad = _round_up(num_groups + 1, _LANES)  # last group = padding sink
     n_pad = _round_up(n, rows * _LANES)
+    n_blocks = n_pad // (rows * _LANES)
+    bs = math.gcd(n_blocks, blocks_per_step)
     ids2 = jnp.full((n_pad,), g_pad - 1, I32).at[:n].set(ids)
     ids2 = ids2.reshape(n_pad // _LANES, _LANES)
 
     pos, counts = pl.pallas_call(
-        functools.partial(_rank_kernel, g_pad=g_pad, rows=rows),
-        grid=(n_pad // (rows * _LANES),),
-        in_specs=[pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+        functools.partial(_rank_kernel, g_pad=g_pad, rows=rows,
+                          blocks_per_step=bs),
+        grid=(n_blocks // bs,),
+        in_specs=[pl.BlockSpec((bs * rows, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+        out_specs=(pl.BlockSpec((bs * rows, _LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, g_pad), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)),
