@@ -3,6 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.json): >= 500 scans/sec at 64-beam, ~100k pts/scan
 on one TPU v5e chip.  vs_baseline = measured / 500.
+
+The measurement runs in a CHILD process, retried a few times: the axon
+tunnel to the TPU can be transiently UNAVAILABLE (observed: backend init
+failing for ~30 min), and a failed backend init poisons the parent jax
+process for good — a fresh process per attempt is the only reliable retry.
 """
 
 from __future__ import annotations
@@ -171,5 +176,38 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _run_with_retries(attempts: int = 4, backoff_s: float = 150.0) -> int:
+    """Run main() in child processes until one prints the JSON line."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # any PYTHONPATH breaks axon registration
+    here = os.path.dirname(os.path.abspath(__file__))
+    last = None
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py"), "--child"],
+            cwd=here, env=env, stdout=subprocess.PIPE, text=True)
+        lines = [ln for ln in (proc.stdout or "").splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines and lines[-1].startswith("{"):
+            print(lines[-1])
+            return 0
+        last = lines[-1] if lines else f"rc={proc.returncode}"
+        print(f"bench attempt {attempt + 1}/{attempts} failed ({last}); "
+              f"retrying in {backoff_s:.0f}s", file=sys.stderr)
+        if attempt + 1 < attempts:
+            time.sleep(backoff_s)
+    print(f"bench: all {attempts} attempts failed; last: {last}",
+          file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(_run_with_retries())

@@ -154,8 +154,12 @@ class TestGatherInterpret:
 
 
 class TestStarScanInterpret:
-    @pytest.mark.parametrize("scene,seed", [("two_curbs", 0), ("blind_spot", 3)])
-    def test_matches_xla_scan_path(self, scene, seed):
+    # blind_spot @ 48x1024 spans 3 kernel blocks: the in-kernel slope /
+    # reset-flag derivation must carry fk/r/z across block boundaries.
+    @pytest.mark.parametrize("scene,seed,rings_az", [
+        ("two_curbs", 0, (24, 512)), ("blind_spot", 3, (24, 512)),
+        ("blind_spot", 5, (48, 1024))])
+    def test_matches_xla_scan_path(self, scene, seed, rings_az):
         """The Pallas star-walk kernel must produce the same per-beam hits
         as the associative_scan fallback on real scene data."""
         import math
@@ -168,7 +172,8 @@ class TestStarScanInterpret:
         from urban_road_filter_tpu.oracle import reference as oracle
 
         cfg = FilterConfig()
-        pts = make_scan(SCENES[scene](), n_rings=24, n_azimuth=512, seed=seed)
+        pts = make_scan(SCENES[scene](), n_rings=rings_az[0],
+                        n_azimuth=rings_az[1], seed=seed)
         pts = pts[oracle.roi_mask(pts, cfg)].astype(np.float32)
         n = len(pts)
         valid = jnp.ones(n, bool)
@@ -183,15 +188,9 @@ class TestStarScanInterpret:
         iota = jnp.arange(n, dtype=jnp.int32)
         fk_s, r_s, z_s, pid_s = jax.lax.sort(
             (f, r, z, iota), dimension=0, num_keys=2, is_stable=True)
-        firstv = jnp.concatenate([jnp.ones((1,), bool), fk_s[1:] != fk_s[:-1]])
-        wk = (fk_s < STAR_REP) & ~firstv
-        dr = r_s - jnp.roll(r_s, 1)
-        slp = (z_s - jnp.roll(z_s, 1)) / dr
-        vstat = wk & ~jnp.isnan(slp)
         slope_param = float(np.float32(cfg.curb_slope_deg)) * math.pi / 180.0
         got_hp = star_scan_pallas(
-            fk_s, firstv, wk, vstat, jnp.where(wk, slp, 0),
-            jnp.where(wk, dr, 0), pid_s,
+            fk_s, r_s, z_s, pid_s,
             slope_param=float(np.float32(slope_param)),
             kdev=float(cfg.kdev_param), kdist=float(cfg.kdist_param),
             dmin=int(cfg.dmin_param), num_beams=STAR_REP, interpret=True)

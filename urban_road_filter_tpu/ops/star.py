@@ -123,6 +123,21 @@ def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
     kdist = jnp.asarray(cfg.kdist_param, F32)
     dmin = jnp.asarray(cfg.dmin_param, I32)
 
+    if jax.default_backend() in ("tpu", "axon"):
+        # One sequential Pallas pass for every segmented recurrence AND the
+        # per-beam hit table (the associative_scan lowering below costs
+        # ~0.8 ms/scan in log-depth slice/pad chains; see ops/star_scan.py).
+        # The kernel takes the 4 sorted streams directly and derives the
+        # slopes/reset flags/walk masks in-kernel — the XLA prep below is
+        # ~10 full-array HBM passes the TPU path no longer pays (round 4).
+        from urban_road_filter_tpu.ops.star_scan import star_scan_pallas
+
+        hp = star_scan_pallas(
+            fk_s, r_s, z_s, pid_s,
+            slope_param=slope_param, kdev=kdev,
+            kdist=kdist, dmin=dmin, num_beams=STAR_REP)
+        return hp, jnp.asarray(0, I32)
+
     first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                              fk_s[1:] != fk_s[:-1]])
     in_beam = fk_s < STAR_REP
@@ -132,19 +147,6 @@ def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
     dz = z_s - jnp.roll(z_s, 1)  # masked by wk)
     slp = dz / dr
     vstat = wk & ~jnp.isnan(slp)  # NaN slopes skip the stats update
-
-    if jax.default_backend() in ("tpu", "axon"):
-        # One sequential Pallas pass for every segmented recurrence AND the
-        # per-beam hit table (the associative_scan lowering below costs
-        # ~0.8 ms/scan in log-depth slice/pad chains; see ops/star_scan.py).
-        from urban_road_filter_tpu.ops.star_scan import star_scan_pallas
-
-        hp = star_scan_pallas(
-            fk_s, first, wk, vstat, jnp.where(wk, slp, F32(0)),
-            jnp.where(wk, dr, F32(0)), pid_s,
-            slope_param=slope_param, kdev=kdev,
-            kdist=kdist, dmin=dmin, num_beams=STAR_REP)
-        return hp, jnp.asarray(0, I32)
 
     rank, m, sum_slp = _segmented_cumsums(first, (
         jnp.ones((n,), I32), vstat.astype(F32),

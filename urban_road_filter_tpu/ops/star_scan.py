@@ -1,24 +1,32 @@
 """Pallas TPU kernel for the star-shaped walk over the beam-sorted stream.
 
 Computes, in ONE sequential pass over the (beam, radius)-sorted point
-stream, everything ops/star.py needs after its sort: the per-segment
-running statistics (m, sum of slopes, sum of absolute deviations), the
-walk index, the trigger predicate, the FIRST trigger per segment, and the
-per-beam hit accumulation — returning just the (g_pad,) hit table.
+stream, everything ops/star.py needs after its sort: the consecutive-point
+slopes, the segment-reset flags, the per-segment running statistics (m,
+sum of slopes, sum of absolute deviations), the walk index, the trigger
+predicate, the FIRST trigger per segment, and the per-beam hit
+accumulation — returning just the (g_pad,) hit table.
 
 The XLA fallback in ops/star.py expresses the same recurrences as
 `lax.associative_scan`s; on TPU those lower to log-depth slice/pad chains
 measured at ~0.8 ms/scan.  This kernel streams each element exactly once:
 
-  * within a 128-lane row, segmented prefix sums are lane-triangular
-    masked reduces from each lane's last reset position;
+  * the previous-element values (for dr/dz slopes and the segment-reset
+    flags) come from one lane roll + a tiny (_ROWS, _ROWS) row shift, with
+    the block's last element carried in VMEM scratch — so the kernel needs
+    only the 4 sorted streams (fk, r, z, pid) instead of 7 host-prepped
+    ones (round-4: the XLA-side rolls/div/isnan/where prep was ~10 full-
+    array HBM passes);
+  * within a 128-lane row, segmented prefix sums are masked log-depth
+    roll-adds;
   * across the _ROWS rows of a block, a tiny (_ROWS, _ROWS) row-level pass;
   * across blocks, carries live in VMEM scratch (TPU grids run in order,
     same trick as ops/rank.py).
 
 Because the stream is segment-sorted, the carry out of a block is simply
 the inclusive prefix at its last element.  All float arithmetic matches
-the fallback (f32 adds in the same order: lane-major then row-major).
+the fallback (f32 sub/div for the slopes, f32 adds in the same order:
+lane-major then row-major).
 """
 
 from __future__ import annotations
@@ -42,29 +50,58 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _star_scan_kernel(params_ref, fk_ref, first_ref, wk_ref, vstat_ref,
-                      slp_ref, dr_ref, pid_ref, hp_ref, carry, hp_acc, *,
-                      g_pad: int):
+def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
+                      carry, hp_acc, *, g_pad: int, num_beams: int):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
     @pl.when(step == 0)
     def _():
         carry[...] = jnp.zeros_like(carry)
+        # fk carry = -1: no real beam index, so the stream's very first
+        # element always opens a segment (the fallback's first[0] = True).
+        carry[5:6, :] = jnp.full((1, _LANES), -1.0, F32)
         hp_acc[...] = jnp.zeros_like(hp_acc)
 
     fk = fk_ref[...]  # (_ROWS, 128) i32
-    first_i = first_ref[...]  # i32 {0,1}
-    first = first_i != 0
-    wk = wk_ref[...] != 0
-    vstat = vstat_ref[...] != 0
-    slp = slp_ref[...]
-    dr = dr_ref[...]
+    r = r_ref[...]  # f32
+    zz = z_ref[...]  # f32
     pid = pid_ref[...]  # f32; values < 2^24 so exact
 
-    # --- within-row segmented scans: log-depth Hillis-Steele over lanes ---
     lane2 = jax.lax.broadcasted_iota(I32, (_ROWS, _LANES), 1)
+    ki = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 0)
+    kj = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 1)
+    row1 = jax.lax.broadcasted_iota(I32, (_ROWS, 1), 0)
 
+    # --- previous element in row-major point order -----------------------
+    # One circular lane roll gives every lane>0 its predecessor and lane 0
+    # the SAME row's lane 127; the (_ROWS, _ROWS) select shifts that column
+    # down one row, and the block carry patches row 0.
+    def prev(v, carry_row):
+        rolled = pltpu.roll(v, 1, axis=1)
+        col = rolled[:, 0:1]  # (R, 1) = v[:, 127]
+        col_j = jnp.broadcast_to(col.reshape(1, _ROWS), (_ROWS, _ROWS))
+        sel = jnp.sum(jnp.where(kj == ki - 1, col_j, F32(0)), axis=1,
+                      keepdims=True)  # (R, 1): v[k-1, 127]; 0 at row 0
+        sel = jnp.where(row1 == 0, carry_row[0:1, 0:1], sel)
+        out = jnp.where(lane2 == 0, sel, rolled)
+        new_carry = jnp.broadcast_to(v[_ROWS - 1:_ROWS, _LANES - 1:_LANES],
+                                     (1, _LANES))
+        return out, new_carry
+
+    fk_f = fk.astype(F32)  # beam ids <= g_pad < 2^24: exact in f32
+    fkp, c_fk = prev(fk_f, carry[5:6, :])
+    rp, c_r = prev(r, carry[6:7, :])
+    zp, c_z = prev(zz, carry[7:8, :])
+
+    first = fkp != fk_f
+    first_i = first.astype(I32)
+    wk = (fk < num_beams) & ~first
+    dr = r - rp
+    slp = (zz - zp) / dr  # garbage at segment starts/padding: wk-masked
+    vstat = wk & ~jnp.isnan(slp)  # NaN slopes skip the stats update
+
+    # --- within-row segmented scans: log-depth Hillis-Steele over lanes ---
     # The absorb masks depend only on the (shared) reset flags, so the
     # flag-propagation rolls run ONCE and the masks are reused by all
     # three scan invocations (they were ~25% of this kernel's lane rolls).
@@ -89,8 +126,6 @@ def _star_scan_kernel(params_ref, fk_ref, first_ref, wk_ref, vstat_ref,
 
     # --- row-level carry machinery (shared by every scanned value) ---
     has_reset = jnp.max(first_i, axis=1, keepdims=True)  # (_ROWS, 1) i32
-    ki = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 0)
-    kj = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 1)
     hr_j = jnp.broadcast_to(has_reset.reshape(1, _ROWS), (_ROWS, _ROWS))
     lrr = jnp.max(jnp.where((hr_j != 0) & (kj < ki), kj, -1), axis=1,
                   keepdims=True)  # (_ROWS, 1): last reset row before k
@@ -144,6 +179,9 @@ def _star_scan_kernel(params_ref, fk_ref, first_ref, wk_ref, vstat_ref,
     carry[2:3, :] = c_dev
     carry[3:4, :] = c_rank
     carry[4:5, :] = c_trig
+    carry[5:6, :] = c_fk
+    carry[6:7, :] = c_r
+    carry[7:8, :] = c_z
 
     # --- per-beam hit accumulation: hp[b] = pid+1 of the first trigger ---
     # First triggers are sparse (<= one per beam, ~3 per block) and the
@@ -166,11 +204,13 @@ def _star_scan_kernel(params_ref, fk_ref, first_ref, wk_ref, vstat_ref,
         hp_ref[...] = hp_acc[...]
 
 
-def star_scan_pallas(fk_s, first, wk, vstat, slp, dr, pid_s, *,
+def star_scan_pallas(fk_s, r_s, z_s, pid_s, *,
                      slope_param, kdev, kdist, dmin, num_beams: int,
                      interpret: bool = False):
     """Returns hp: (num_beams,) i32, hp[b] = 1 + pid of beam b's first
-    triggering point (0 = none).  Inputs are the beam-sorted stream."""
+    triggering point (0 = none).  Inputs are the 4 beam-sorted streams
+    straight off the sort — slopes, reset flags and walk masks are derived
+    in-kernel (round-4; formerly 7 host-prepped streams)."""
     n = fk_s.shape[0]
     blk = _ROWS * _LANES
     n_pad = _round_up(n, blk)
@@ -186,21 +226,19 @@ def star_scan_pallas(fk_s, first, wk, vstat, slp, dr, pid_s, *,
                         jnp.asarray(dmin, I32).astype(F32)]).reshape(1, 4)
     args = (
         params,
-        prep(fk_s, g_pad - 1, I32),
-        prep(first, 1, I32),  # padding opens its own (inert) segment
-        prep(wk, 0, I32),
-        prep(vstat, 0, I32),
-        prep(slp, 0.0, F32),
-        prep(dr, 0.0, F32),
+        prep(fk_s, g_pad - 1, I32),  # padding = sink segment (never in-beam)
+        prep(r_s, 0.0, F32),
+        prep(z_s, 0.0, F32),
         prep(pid_s, 0.0, F32),
     )
     spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     hp_rows = pl.pallas_call(
-        functools.partial(_star_scan_kernel, g_pad=g_pad),
+        functools.partial(_star_scan_kernel, g_pad=g_pad,
+                          num_beams=num_beams),
         grid=(n_pad // blk,),
         in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)] + [spec] * 7,
+                               memory_space=pltpu.SMEM)] + [spec] * 4,
         out_specs=pl.BlockSpec((_ROWS, g_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_ROWS, g_pad), F32),
