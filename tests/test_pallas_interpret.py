@@ -133,6 +133,38 @@ class TestGroupPlaceInterpret:
                                  [jnp.asarray(v)], g, cap, interpret=True)
         np.testing.assert_array_equal(np.asarray(got[0]), want[0])
 
+    def test_byte_limbs_bit_exact(self):
+        # s8 byte-limb kernel: exact for every f32 bit pattern, including
+        # negatives (sign byte >= 128), huge/tiny exponents, dropped-point
+        # NaNs and over-capacity Infs.
+        rng = np.random.default_rng(9)
+        n, g, cap = 4096, 32, 256  # g multiple of 32 (i8 sublane tiling)
+        ids = rng.integers(0, g + 2, n).astype(I32)
+        pos = np.zeros(n, I32)
+        counts = {}
+        for i, gid in enumerate(ids):
+            pos[i] = counts.get(int(gid), 0)
+            counts[int(gid)] = pos[i] + 1
+        vals = [(rng.standard_normal(n)
+                 * np.exp(rng.uniform(-20, 20, n))).astype(F32),
+                rng.standard_normal(n).astype(F32) * 100,
+                rng.integers(0, 3, n).astype(F32)]
+        dropped = ids >= g
+        assert dropped.any()
+        for v in vals:
+            v[dropped] = np.nan
+        over = pos >= cap
+        for v in vals:
+            v[over & ~dropped] = np.inf
+        want = _scatter_reference(ids, pos, vals, g, cap)
+        got = group_place_pallas(jnp.asarray(ids), jnp.asarray(pos),
+                                 [jnp.asarray(v) for v in vals], g, cap,
+                                 interpret=True, byte_limbs=True)
+        for w, o in zip(want, got):
+            o = np.asarray(o)
+            assert np.isfinite(o).all()
+            np.testing.assert_array_equal(o, w)
+
 
 class TestGatherInterpret:
     @pytest.mark.parametrize("pack", [1, 4])

@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 I32 = jnp.int32
+I8 = jnp.int8
 
 _C = 2048  # points per grid step (tools/bench_place.py TPU sweep, b128:
 # 1024 -> 143.4, 2048 -> 91.4, 4096 -> 90.3 ms/step isolated — the grid's
@@ -40,7 +41,8 @@ def _round_up(v: int, m: int) -> int:
 
 def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
                   n_groups_pad: int, col_w: int, cols_per_super: int,
-                  n_fields: int, limb_counts: tuple, chunks_per_step: int):
+                  n_fields: int, limb_counts: tuple, chunks_per_step: int,
+                  byte_limbs: bool = False):
     # `active_ref` lives in SMEM (not scalar-prefetch: jax's vmap batching
     # rule for PrefetchScalarGridSpec falls back to INTERPRET mode, which
     # cost the batched pipeline ~14 ms/step as an XLA while-loop emulation —
@@ -62,12 +64,13 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     col0 = super_ * cols_per_super
+    chunk_fn = _place_chunk_i8 if byte_limbs else _place_chunk
     for c in range(chunks_per_step):
-        _place_chunk(active_ref, ids_ref, pos_ref, vals_ref, out_ref,
-                     step * chunks_per_step + c, c, col0,
-                     n_groups_pad=n_groups_pad, col_w=col_w,
-                     cols_per_super=cols_per_super,
-                     limb_counts=limb_counts)
+        chunk_fn(active_ref, ids_ref, pos_ref, vals_ref, out_ref,
+                 step * chunks_per_step + c, c, col0,
+                 n_groups_pad=n_groups_pad, col_w=col_w,
+                 cols_per_super=cols_per_super,
+                 limb_counts=limb_counts)
 
 
 def _place_chunk(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
@@ -153,12 +156,80 @@ def _place_chunk(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
                     parts, axis=0)
 
 
+def _place_chunk_i8(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
+                    c, col0, *, n_groups_pad: int, col_w: int,
+                    cols_per_super: int, limb_counts: tuple):
+    """Byte-limb (s8 MXU) variant of _place_chunk: each f32 value is split
+    into its 4 raw i32 bytes; the A tile stores (byte - 128) * ring_onehot
+    in s8 (i32 arithmetic, then one i32->i8 convert — Mosaic's elementwise
+    i8 mul and i1->i8 select retile are both illegal, tools/
+    probe_i8_place.py) plus one shared occupancy row-block that undoes the
+    -128 offset after the s8 x s8 -> s32 dot.  Exact for EVERY f32 bit
+    pattern (placement is selection; the i32 reconstruct is bitwise).
+    ~1.4x less A-tile traffic than the 3x-bf16-limb tile and a 2x MXU
+    rate; `limb_counts` is ignored (bytes are uniform)."""
+    del limb_counts
+    g_pad = n_groups_pad
+    act_any = active_ref[col0, chunk_i]
+    for j in range(1, cols_per_super):
+        act_any += active_ref[col0 + j, chunk_i]
+
+    @pl.when(act_any > 0)
+    def _():
+        ids = ids_ref[c]  # (1, C)
+        pos = pos_ref[c]  # (1, C)
+        vals = vals_ref[c]  # (n_fields, C) f32
+        nf, cw = vals.shape
+
+        vi = jax.lax.bitcast_convert_type(vals, I32)  # (nf, C)
+        gid = jax.lax.broadcasted_iota(I32, (g_pad, 1), 0)
+        ring_oh = (gid == ids).astype(I32)  # (G, C)
+        occ = ring_oh.astype(I8)
+
+        rows = []
+        for f in range(nf):
+            for k in range(4):
+                b = jax.lax.shift_right_logical(
+                    vi[f:f + 1], I32(8 * k)) & I32(0xFF)  # (1, C) in 0..255
+                rows.append(((b - I32(128)) * ring_oh).astype(I8))  # (G, C)
+        rows.append(occ)
+        a = jnp.concatenate(rows, axis=0)  # ((4*nf+1)*G, C) s8
+
+        for j in range(cols_per_super):
+            @pl.when(active_ref[col0 + j, chunk_i] > 0)
+            def _(j=j):
+                sid = (col0 + j) * col_w + jax.lax.broadcasted_iota(
+                    I32, (col_w, pos.shape[1]), 0)
+                pos_oh_t = ((sid == pos).astype(I32)).astype(I8)  # (W, C)
+
+                r = jax.lax.dot_general(a, pos_oh_t,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=I32)
+                occ_blk = r[4 * nf * g_pad:(4 * nf + 1) * g_pad]  # (G, W)
+                parts = []
+                for f in range(nf):
+                    def blk(k, f=f):
+                        t = r[(4 * f + k) * g_pad:(4 * f + k + 1) * g_pad]
+                        return t + I32(128) * occ_blk  # undo the offset
+                    oi = (blk(0) | jax.lax.shift_left(blk(1), I32(8))
+                          | jax.lax.shift_left(blk(2), I32(16))
+                          | jax.lax.shift_left(blk(3), I32(24)))
+                    parts.append(jax.lax.bitcast_convert_type(oi, F32))
+                out_ref[:, j * col_w:(j + 1) * col_w] += jnp.concatenate(
+                    parts, axis=0)
+
+
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
                        limb_counts=None, interpret: bool = False,
-                       chunk: int = _C, chunks_per_step: int = 2):
+                       chunk: int = _C, chunks_per_step: int = 2,
+                       byte_limbs: bool = False):
     """fields: list of (N,) arrays (cast to f32; exact for int32 |v|<2^24).
     limb_counts: per-field bf16 limb count (1 suffices for values needing
     <=8 mantissa bits, e.g. small label enums; default 3 = full f32).
+    byte_limbs: use the s8-MXU byte-limb kernel instead of bf16 limbs
+    (exact for every f32 bit pattern; requires num_groups padded to a
+    multiple of 32 for i8 sublane tiling — the 64/128-ring layouts
+    qualify; limb_counts is ignored).
     Values of non-landing points (dropped group / over-capacity) are zeroed
     internally; values of LANDING points must be finite (a landing NaN/Inf
     would poison its whole group row through the one-hot product — the
@@ -224,7 +295,8 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     out = pl.pallas_call(
         functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
                           cols_per_super=cols_per_super, n_fields=nf,
-                          limb_counts=limb_counts, chunks_per_step=cs),
+                          limb_counts=limb_counts, chunks_per_step=cs,
+                          byte_limbs=byte_limbs),
         grid=(n_super, n_chunks // cs),
         in_specs=[
             pl.BlockSpec((n_cols, n_chunks), lambda s, i: (0, 0),
