@@ -85,11 +85,14 @@ def _rank_block(ids_ref, pos_ref, running, c, *, g_pad: int, rows: int):
     base = running[0:1, :].astype(jnp.float32) + row_base  # (rows, g_pad)
 
     # Within-row prefix: P_t[l, r, g] = # lanes l' < l of row r in group g.
+    # Emitted in bf16 (exact: every prefix count <= 128 < 2^8, f32 MXU
+    # accumulate downcast at the end) — the (L, rows*g_pad) result is this
+    # kernel's largest tensor, and bf16 halves its write+read traffic.
     l_i = jax.lax.broadcasted_iota(I32, (_LANES, _LANES), 0)
     l_j = jax.lax.broadcasted_iota(I32, (_LANES, _LANES), 1)
     lt_l = (l_j < l_i).astype(jnp.bfloat16)
     o2 = oh_t.astype(jnp.bfloat16).reshape(_LANES, rows * g_pad)
-    p_t = jnp.dot(lt_l, o2, preferred_element_type=jnp.float32).reshape(
+    p_t = jnp.dot(lt_l, o2, preferred_element_type=jnp.bfloat16).reshape(
         _LANES, rows, g_pad)
 
     # ONE one-hot select of (within-row + base); transposed back to the
@@ -98,7 +101,7 @@ def _rank_block(ids_ref, pos_ref, running, c, *, g_pad: int, rows: int):
     # lane-gather (take_along_axis, g_pad == 128 form) for this select
     # REGRESSED 25.3 -> 30.5 ms/step — the per-lane dynamic shuffle
     # lowers to a longer sequence than the where+reduce.)
-    tot = p_t + base[None, :, :]
+    tot = p_t.astype(jnp.float32) + base[None, :, :]
     sel = jnp.sum(jnp.where(oh_t, tot, jnp.float32(0)), axis=2)  # (L, rows)
     pos_ref[c * rows:(c + 1) * rows] = sel.astype(I32).T
     running[0:1, :] = running[0:1, :] + jnp.sum(rowcnt, axis=0, keepdims=True)
