@@ -51,7 +51,8 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
-                      carry, hp_acc, *, g_pad: int, num_beams: int):
+                      carry, hp_acc, *, g_pad: int, num_beams: int,
+                      rows: int):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -63,29 +64,29 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
         carry[5:6, :] = jnp.full((1, _LANES), -1.0, F32)
         hp_acc[...] = jnp.zeros_like(hp_acc)
 
-    fk = fk_ref[...]  # (_ROWS, 128) i32
+    fk = fk_ref[...]  # (rows, 128) i32
     r = r_ref[...]  # f32
     zz = z_ref[...]  # f32
     pid = pid_ref[...]  # f32; values < 2^24 so exact
 
-    lane2 = jax.lax.broadcasted_iota(I32, (_ROWS, _LANES), 1)
-    ki = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 0)
-    kj = jax.lax.broadcasted_iota(I32, (_ROWS, _ROWS), 1)
-    row1 = jax.lax.broadcasted_iota(I32, (_ROWS, 1), 0)
+    lane2 = jax.lax.broadcasted_iota(I32, (rows, _LANES), 1)
+    ki = jax.lax.broadcasted_iota(I32, (rows, rows), 0)
+    kj = jax.lax.broadcasted_iota(I32, (rows, rows), 1)
+    row1 = jax.lax.broadcasted_iota(I32, (rows, 1), 0)
 
     # --- previous element in row-major point order -----------------------
     # One circular lane roll gives every lane>0 its predecessor and lane 0
-    # the SAME row's lane 127; the (_ROWS, _ROWS) select shifts that column
+    # the SAME row's lane 127; the (rows, rows) select shifts that column
     # down one row, and the block carry patches row 0.
     def prev(v, carry_row):
         rolled = pltpu.roll(v, 1, axis=1)
         col = rolled[:, 0:1]  # (R, 1) = v[:, 127]
-        col_j = jnp.broadcast_to(col.reshape(1, _ROWS), (_ROWS, _ROWS))
+        col_j = jnp.broadcast_to(col.reshape(1, rows), (rows, rows))
         sel = jnp.sum(jnp.where(kj == ki - 1, col_j, F32(0)), axis=1,
                       keepdims=True)  # (R, 1): v[k-1, 127]; 0 at row 0
         sel = jnp.where(row1 == 0, carry_row[0:1, 0:1], sel)
         out = jnp.where(lane2 == 0, sel, rolled)
-        new_carry = jnp.broadcast_to(v[_ROWS - 1:_ROWS, _LANES - 1:_LANES],
+        new_carry = jnp.broadcast_to(v[rows - 1:rows, _LANES - 1:_LANES],
                                      (1, _LANES))
         return out, new_carry
 
@@ -114,7 +115,7 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
     row_open_all = flag == 0
 
     def seg_scan_rows(values):
-        """Inclusive segmented prefix sums of several (_ROWS, 128) f32 arrays
+        """Inclusive segmented prefix sums of several (rows, 128) f32 arrays
         (shared reset flags `first_i`), within each row.  7 masked
         roll-add rounds instead of a lane-triangular reduce.  Returns the
         scanned values plus `row_open` (no reset at or before each lane)."""
@@ -125,23 +126,23 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
         return vs, row_open_all
 
     # --- row-level carry machinery (shared by every scanned value) ---
-    has_reset = jnp.max(first_i, axis=1, keepdims=True)  # (_ROWS, 1) i32
-    hr_j = jnp.broadcast_to(has_reset.reshape(1, _ROWS), (_ROWS, _ROWS))
+    has_reset = jnp.max(first_i, axis=1, keepdims=True)  # (rows, 1) i32
+    hr_j = jnp.broadcast_to(has_reset.reshape(1, rows), (rows, rows))
     lrr = jnp.max(jnp.where((hr_j != 0) & (kj < ki), kj, -1), axis=1,
-                  keepdims=True)  # (_ROWS, 1): last reset row before k
+                  keepdims=True)  # (rows, 1): last reset row before k
     carry_sel = (kj < ki) & (kj >= lrr)
-    no_reset_before = (lrr == -1)  # (_ROWS, 1)
+    no_reset_before = (lrr == -1)  # (rows, 1)
 
     def add_carries(rs, row_open, carry_row):
         """Add row- and block-level carries to a row-scanned value."""
-        rowtot = rs[:, _LANES - 1:_LANES]  # (_ROWS, 1) value at lane 127
-        rt_j = jnp.broadcast_to(rowtot.reshape(1, _ROWS), (_ROWS, _ROWS))
+        rowtot = rs[:, _LANES - 1:_LANES]  # (rows, 1) value at lane 127
+        rt_j = jnp.broadcast_to(rowtot.reshape(1, rows), (rows, rows))
         carry_in = jnp.sum(jnp.where(carry_sel, rt_j, F32(0)), axis=1,
-                           keepdims=True)  # (_ROWS, 1)
+                           keepdims=True)  # (rows, 1)
         block_carry = carry_row[0:1, 0:1]  # (1, 1), all lanes equal
         carry_in = carry_in + jnp.where(no_reset_before, block_carry, F32(0))
         out = rs + jnp.where(row_open, carry_in, F32(0))
-        new_carry = jnp.broadcast_to(out[_ROWS - 1:_ROWS, _LANES - 1:_LANES],
+        new_carry = jnp.broadcast_to(out[rows - 1:rows, _LANES - 1:_LANES],
                                      (1, _LANES))
         return out, new_carry
 
@@ -197,7 +198,7 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
             gid = lo + jax.lax.broadcasted_iota(I32, (1, 1, _LANES), 2)
             hp_acc[:, lo:lo + _LANES] += jnp.sum(
                 jnp.where(fk[:, :, None] == gid, ftv[:, :, None], F32(0)),
-                axis=1)  # (_ROWS, LANES)
+                axis=1)  # (rows, LANES)
 
     @pl.when(step == n_steps - 1)
     def _():
@@ -206,13 +207,13 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
 
 def star_scan_pallas(fk_s, r_s, z_s, pid_s, *,
                      slope_param, kdev, kdist, dmin, num_beams: int,
-                     interpret: bool = False):
+                     interpret: bool = False, rows: int = _ROWS):
     """Returns hp: (num_beams,) i32, hp[b] = 1 + pid of beam b's first
     triggering point (0 = none).  Inputs are the 4 beam-sorted streams
     straight off the sort — slopes, reset flags and walk masks are derived
     in-kernel (round-4; formerly 7 host-prepped streams)."""
     n = fk_s.shape[0]
-    blk = _ROWS * _LANES
+    blk = rows * _LANES
     n_pad = _round_up(n, blk)
     g_pad = _round_up(num_beams + 1, _LANES)
 
@@ -231,19 +232,19 @@ def star_scan_pallas(fk_s, r_s, z_s, pid_s, *,
         prep(z_s, 0.0, F32),
         prep(pid_s, 0.0, F32),
     )
-    spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+    spec = pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     hp_rows = pl.pallas_call(
         functools.partial(_star_scan_kernel, g_pad=g_pad,
-                          num_beams=num_beams),
+                          num_beams=num_beams, rows=rows),
         grid=(n_pad // blk,),
         in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)] + [spec] * 4,
-        out_specs=pl.BlockSpec((_ROWS, g_pad), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((rows, g_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_ROWS, g_pad), F32),
+        out_shape=jax.ShapeDtypeStruct((rows, g_pad), F32),
         scratch_shapes=[pltpu.VMEM((8, _LANES), F32),
-                        pltpu.VMEM((_ROWS, g_pad), F32)],
+                        pltpu.VMEM((rows, g_pad), F32)],
         interpret=interpret,
     )(*args)
     return jnp.sum(hp_rows, axis=0).astype(I32)[:num_beams]
