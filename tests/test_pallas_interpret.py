@@ -229,6 +229,86 @@ class TestStarScanInterpret:
         np.testing.assert_array_equal(np.asarray(got_hp), np.asarray(want_hp))
         assert int((np.asarray(want_hp) > 0).sum()) > 0  # scene has hits
 
+    def test_adversarial_stream(self):
+        """Constructed sorted stream: duplicate radii (NaN/Inf slopes),
+        single-point beams, empty beams, an inf-radius sink segment, and a
+        stream length straddling a block boundary — kernel must equal the
+        associative_scan recurrence chain bit-for-bit."""
+        import math
+
+        import jax.numpy as jnp
+
+        from urban_road_filter_tpu.constants import STAR_REP
+        from urban_road_filter_tpu.ops.star import _segmented_cumsums
+        from urban_road_filter_tpu.ops.star_scan import star_scan_pallas
+
+        rng = np.random.default_rng(11)
+        n = 8200  # one full 8192 block + a 8-element tail block
+        # ~500 used beams; beams 100-110 empty; beam 7 single-point.
+        beams = np.sort(rng.integers(0, 360, n)).astype(np.int32)
+        beams = beams[(beams < 100) | (beams > 110) | (beams == 0)]
+        beams = np.concatenate([beams, np.full(n - len(beams), 359,
+                                               np.int32)])
+        beams = np.sort(beams)
+        r = rng.uniform(0.5, 30.0, n).astype(np.float32)
+        # duplicate radii inside beams: NaN (dz==0) and Inf (dz!=0) slopes
+        dup = rng.random(n) < 0.15
+        r[1:][dup[1:] & (beams[1:] == beams[:-1])] = 0  # marker, fixed below
+        z = rng.uniform(-2, 2, n).astype(np.float32)
+        # sort within beams by r (global sort with iota tiebreak)
+        order = np.lexsort((np.arange(n), r, beams))
+        fk_s = beams[order]
+        r_s = np.sort(r)[::-1].copy()  # placeholder; rebuild properly:
+        r_s = r[order].copy()
+        z_s = z[order].copy()
+        # inject exact duplicates AFTER sorting (keeps sortedness)
+        dup_pos = np.nonzero((fk_s[1:] == fk_s[:-1])
+                             & (rng.random(n - 1) < 0.2))[0] + 1
+        r_s[dup_pos] = r_s[dup_pos - 1]  # dr == 0
+        z_s[dup_pos[::2]] = z_s[dup_pos[::2] - 1]  # half also dz == 0 (NaN)
+        # sink segment: trailing dropped points at fk == STAR_REP, r == inf
+        fk_s[-40:] = STAR_REP
+        r_s[-40:] = np.inf
+        pid_s = rng.permutation(n).astype(np.int32)
+
+        fk_j = jnp.asarray(fk_s)
+        r_j = jnp.asarray(r_s)
+        z_j = jnp.asarray(z_s)
+        pid_j = jnp.asarray(pid_s)
+        slope_param = float(np.float32(0.3))
+        kdev, kdist, dmin = 1.1, 2.0, 3
+
+        # XLA recurrence chain (the star.py fallback, verbatim semantics).
+        firstv = jnp.concatenate([jnp.ones((1,), bool),
+                                  fk_j[1:] != fk_j[:-1]])
+        wk = (fk_j < STAR_REP) & ~firstv
+        dr = r_j - jnp.roll(r_j, 1)
+        slp = (z_j - jnp.roll(z_j, 1)) / dr
+        vstat = wk & ~jnp.isnan(slp)
+        rank, m, sum_slp = _segmented_cumsums(firstv, (
+            jnp.ones((n,), I32), vstat.astype(F32),
+            jnp.where(vstat, slp, F32(0))))
+        avg = jnp.where(m > 0, sum_slp / m, F32(0))
+        (sum_dev,) = _segmented_cumsums(
+            firstv, (jnp.where(vstat, jnp.abs(slp - avg), F32(0)),))
+        dev = jnp.where(m > 0, sum_dev / m, F32(0))
+        adaptive = (rank - 1 > dmin) & (
+            (slp * slp - avg * avg) * F32(kdev) * (dr * F32(kdist)) > dev)
+        trigger = wk & ((slp > F32(slope_param)) | adaptive)
+        (trig_rank,) = _segmented_cumsums(firstv, (trigger.astype(I32),))
+        first_trig = trigger & (trig_rank == 1)
+        bins = jnp.arange(STAR_REP, dtype=I32)
+        want_hp = jnp.sum(jnp.where((fk_j[:, None] == bins[None, :])
+                                    & first_trig[:, None],
+                                    (pid_j + 1)[:, None], 0), axis=0)
+
+        got_hp = star_scan_pallas(
+            fk_j, r_j, z_j, pid_j, slope_param=slope_param, kdev=kdev,
+            kdist=kdist, dmin=dmin, num_beams=STAR_REP, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_hp),
+                                      np.asarray(want_hp))
+        assert int((np.asarray(want_hp) > 0).sum()) > 5
+
 
 class TestRankInterpret:
     @pytest.mark.parametrize("n,groups,seed", [(300, 5, 0), (4096, 65, 1),
