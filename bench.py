@@ -182,11 +182,17 @@ def _run_with_retries(attempts: int = 4, backoff_s: float = 150.0) -> int:
     import subprocess
     import sys
 
-    env = dict(os.environ)
-    env.pop("PYTHONPATH", None)  # any PYTHONPATH breaks axon registration
+    # PYTHONPATH handling has flipped between backend generations: round-2
+    # axon broke if ANY PYTHONPATH was set; the round-3 backend REGISTERS
+    # through PYTHONPATH=/root/.axon_site.  Alternate between the inherited
+    # env and a stripped one so bench survives both.
+    env_inherit = dict(os.environ)
+    env_stripped = dict(os.environ)
+    env_stripped.pop("PYTHONPATH", None)
     here = os.path.dirname(os.path.abspath(__file__))
     last = None
     for attempt in range(attempts):
+        env = env_inherit if attempt % 2 == 0 else env_stripped
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "bench.py"), "--child"],
             cwd=here, env=env, stdout=subprocess.PIPE, text=True)

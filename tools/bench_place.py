@@ -30,6 +30,8 @@ def main():
                     help="chunks_per_step values to sweep")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--byte-limbs", action="store_true",
+                    help="use the s8-MXU byte-limb kernel")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +69,8 @@ def main():
                 lambda i_, p_, x_, y_, z_, chunk=chunk, cps=cps:
                 group_place_pallas(
                     i_, p_, [x_, y_, z_], rings, cap, limb_counts=(3, 3, 3),
-                    chunk=chunk, chunks_per_step=cps)))
+                    chunk=chunk, chunks_per_step=cps,
+                    byte_limbs=args.byte_limbs)))
             try:
                 outs = fn(ids_b, pos_b, *f_b)
                 got = np.asarray(outs[0][0])

@@ -16,9 +16,12 @@ produces i8 — if the convert legalizes, the byte-limb kernel is buildable.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -92,10 +95,57 @@ def main() -> None:
         pos = jnp.asarray(pos_np)
         vals = [jnp.asarray(rng.normal(size=n) * 40, F32) for _ in range(3)]
         outs = group_place_pallas(ids, pos, vals, g, cap, byte_limbs=True)
-        want = group_place_pallas(ids, pos, vals, g, cap, interpret=True)
-        for o, w in zip(outs, want):
-            assert np.array_equal(np.asarray(o), np.asarray(w)), "mismatch"
-        print("probe 3 OK: byte-limb placement bit-equal to bf16-limb path")
+        # NumPy ground truth (NOT the interpret path: on the axon backend
+        # interpret-mode dots drop the mid/lo limb precision — bf16 results).
+        want = []
+        for v in vals:
+            w = np.zeros((g, cap), np.float32)
+            w[idn, pos_np] = np.asarray(v)
+            want.append(w)
+        bad = 0
+        for fi, (o, w) in enumerate(zip(outs, want)):
+            o, w = np.asarray(o), np.asarray(w)
+            if not np.array_equal(o, w):
+                bad += 1
+                m = o != w
+                r, s = np.nonzero(m)
+                print(f"field {fi}: {m.sum()}/{m.size} mismatch")
+                for k in range(min(5, len(r))):
+                    go, wa = o[r[k], s[k]], w[r[k], s[k]]
+                    print(f"  ({r[k]},{s[k]}): got {go} ({np.float32(go).view(np.uint32):08x})"
+                          f" want {wa} ({np.float32(wa).view(np.uint32):08x})")
+        assert bad == 0, "mismatch"
+        print("probe 3 OK: byte-limb placement bit-equal to NumPy scatter")
+
+    elif which == 4:
+        # Isolate the in-kernel byte decompose/reconstruct (no MXU dot):
+        # f32 -> i32 bitcast -> 4 (byte-128) i8 rows -> +128, shift-or,
+        # bitcast back.  If this is exact, the mismatch is in the A-tile
+        # one-hot product or the row-block slicing.
+        def kern(v_ref, out_ref):
+            vi = jax.lax.bitcast_convert_type(v_ref[...], I32)  # (8, C)
+            blks = []
+            for k in range(4):
+                b = jax.lax.shift_right_logical(vi, I32(8 * k)) & I32(0xFF)
+                blks.append((b - I32(128)).astype(I8))
+            back = [b.astype(I32) + I32(128) for b in blks]
+            oi = (back[0] | jax.lax.shift_left(back[1], I32(8))
+                  | jax.lax.shift_left(back[2], I32(16))
+                  | jax.lax.shift_left(back[3], I32(24)))
+            out_ref[...] = jax.lax.bitcast_convert_type(oi, F32)
+
+        rng = np.random.default_rng(4)
+        v = jnp.asarray(rng.normal(size=(8, C)) * 40, F32)
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec((8, C), lambda: (0, 0))],
+            out_specs=pl.BlockSpec((8, C), lambda: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, C), F32),
+        )(v)
+        got, want = np.asarray(out), np.asarray(v)
+        eq = got.view(np.uint32) == want.view(np.uint32)
+        assert eq.all(), f"{(~eq).sum()}/{eq.size} mismatch"
+        print("probe 4 OK: in-kernel byte decompose/reconstruct bit-exact")
 
 
 if __name__ == "__main__":

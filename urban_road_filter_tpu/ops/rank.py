@@ -85,15 +85,17 @@ def _rank_block(ids_ref, pos_ref, running, c, *, g_pad: int, rows: int):
     base = running[0:1, :].astype(jnp.float32) + row_base  # (rows, g_pad)
 
     # Within-row prefix: P_t[l, r, g] = # lanes l' < l of row r in group g.
-    # Emitted in bf16 (exact: every prefix count <= 128 < 2^8, f32 MXU
-    # accumulate downcast at the end) — the (L, rows*g_pad) result is this
-    # kernel's largest tensor, and bf16 halves its write+read traffic.
+    # Stored in bf16 (exact: every prefix count <= 128 < 2^8) — the
+    # (L, rows*g_pad) result is this kernel's largest tensor, and bf16
+    # halves its write+read traffic.  The MXU accumulator itself must stay
+    # 32-bit (Mosaic rejects a bf16 acc: "Expected matmul acc to be
+    # 32-bit"); the downcast happens on the store.
     l_i = jax.lax.broadcasted_iota(I32, (_LANES, _LANES), 0)
     l_j = jax.lax.broadcasted_iota(I32, (_LANES, _LANES), 1)
     lt_l = (l_j < l_i).astype(jnp.bfloat16)
     o2 = oh_t.astype(jnp.bfloat16).reshape(_LANES, rows * g_pad)
-    p_t = jnp.dot(lt_l, o2, preferred_element_type=jnp.bfloat16).reshape(
-        _LANES, rows, g_pad)
+    p_t = jnp.dot(lt_l, o2, preferred_element_type=jnp.float32).astype(
+        jnp.bfloat16).reshape(_LANES, rows, g_pad)
 
     # ONE one-hot select of (within-row + base); transposed back to the
     # (rows, LANES) output layout.  (Measured dead ends: an i32 pairwise
