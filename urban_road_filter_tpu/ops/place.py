@@ -238,7 +238,9 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     n = ids.shape[0]
     nf = len(fields)
     limb_counts = tuple(limb_counts or (3,) * nf)
-    g_pad = _round_up(num_groups, 8)
+    # i8 sublane tiles are 32 rows: the byte-limb A-tile concatenates
+    # g_pad-row blocks, which must land on tile boundaries.
+    g_pad = _round_up(num_groups, 32 if byte_limbs else 8)
     n_pad = _round_up(n, chunk)
     pad_id = I32(g_pad)  # out-of-range group -> contributes nowhere
 
@@ -253,12 +255,10 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     # whole product (NaN * 0 == NaN inside jnp.dot).  Real PCD clouds contain
     # NaN returns, so zero the values of every non-landing point.
     lands = (ids < I32(num_groups)) & (pos < I32(capacity))
-    # (Round-3 dead end, measured: an int8-LIMB variant — byte limbs of the
-    # values' i32 representation with i8 one-hots, halving A-tile bytes and
-    # riding the MXU s8 mode — cannot be built in Mosaic today: elementwise
-    # i8 mul fails to legalize (arith.muli on i8 vectors) and the i1 mask
-    # (8,128)->(32,128) retiling for an i8 select is an invalid relayout.
-    # The standalone s8 x s8 -> s32 MXU matmul itself works.  See PERF.md.)
+    # (byte_limbs history: a first i8 attempt failed round 3 on Mosaic's
+    # elementwise-i8-mul and i1->i8-select-retile gaps; the round-4 kernel
+    # routes around both — i32 arithmetic then ONE i32->i8 convert — and
+    # measures 59.6 vs 142.7 ms/step isolated at b128.  See PERF.md.)
     vals2 = jnp.stack([jnp.full((n_pad,), 0.0, F32).at[:n].set(
         jnp.where(lands, f.astype(F32), F32(0))) for f in fields],
         axis=0)  # (F, n_pad)

@@ -42,8 +42,9 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 _LANES = 128
-_ROWS = 64  # 8192 points per grid step (fewer steps amortize the per-step
-# fixed cost; the (_ROWS, _ROWS) row-carry matrices stay tiny)
+_ROWS = 32  # 4096 points per grid step (tools/bench_star.py TPU sweep on
+# the stream-input kernel: r32 94.02, r64 94.85 ms/step sort+scan at b128;
+# the (_ROWS, _ROWS) row-carry matrices stay tiny)
 
 
 def _round_up(v: int, m: int) -> int:
