@@ -186,7 +186,10 @@ def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
                     rows_per_step: int):
     """rows_per_step (ring, blk) rows per grid step (in-kernel loop) —
     amortizes the fixed per-grid-step cost (PERF.md round 4); per-row work
-    and results are unchanged."""
+    and results are unchanged.  rows_per_step is a multiple of
+    blocks_per_ring (whole rings per step), so the per-ring reach-column
+    extraction hoists to a STATIC once-per-ring event of the row loop
+    (it was ~5 ms/step when paid per row, device trace round 4)."""
     step = pl.program_id(0)
     bz = bz_ref[0, 0]
     sp_f = F32(360) - bz
@@ -198,13 +201,22 @@ def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
     lane = jax.lax.broadcasted_iota(I32, (_SPAD, 2 * r), 1)
     tbl = reach_ref[...]
 
+    reach = [None]
     for j in range(rows_per_step):
-        _labeled_row(j, step * rows_per_step + j, counts_ref, w_ref,
-                     alpha_ref, out_ref, lane, tbl, sp_f, sp_b,
+        row = step * rows_per_step + j
+        if j % blocks_per_ring == 0:  # static: new ring opens here
+            ring = row // blocks_per_ring
+            reach[0] = (
+                jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
+                        keepdims=True),  # (SPAD, 1)
+                jnp.max(jnp.where(lane == r + ring, tbl, F32(0)), axis=1,
+                        keepdims=True))
+        _labeled_row(j, row, counts_ref, w_ref, alpha_ref, out_ref,
+                     reach[0], sp_f, sp_b,
                      blocks_per_ring=blocks_per_ring, blk_w=blk_w, r=r)
 
 
-def _labeled_row(j, row, counts_ref, w_ref, alpha_ref, out_ref, lane, tbl,
+def _labeled_row(j, row, counts_ref, w_ref, alpha_ref, out_ref, reach_fb,
                  sp_f, sp_b, *, blocks_per_ring: int, blk_w: int, r: int):
     ring = row // blocks_per_ring
     blk = row % blocks_per_ring
@@ -222,10 +234,7 @@ def _labeled_row(j, row, counts_ref, w_ref, alpha_ref, out_ref, lane, tbl,
     w = w_ref[0, ring]
     ring_ge1 = ring >= 1
 
-    reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
-                      keepdims=True)  # (SPAD, 1)
-    reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)), axis=1,
-                      keepdims=True)
+    reach_f, reach_b = reach_fb
 
     out_ref[j] = jnp.zeros((1, blk_w), F32)
 
@@ -297,10 +306,17 @@ def _labeled_markerf_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
     lane = jax.lax.broadcasted_iota(I32, (_SPAD, 2 * r), 1)
     tbl = reach_ref[...]
 
+    reach_f = reach_b = None
     for j in range(rows_per_step):
         row = step * rows_per_step + j
         ring = row // blocks_per_ring
         blk = row % blocks_per_ring
+        if j % blocks_per_ring == 0:  # static: whole rings per step (the
+            # per-ring reach extraction was ~5 ms/step when paid per row)
+            reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
+                              keepdims=True)  # (SPAD, 1)
+            reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)),
+                              axis=1, keepdims=True)
         slot0 = blk * blk_w
         slot = slot0 + jax.lax.broadcasted_iota(I32, (1, blk_w), 1)
         valid = slot < counts_ref[0, ring]
@@ -313,11 +329,6 @@ def _labeled_markerf_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
 
         w = w_ref[0, ring]
         ring_ge1 = ring >= 1
-
-        reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
-                          keepdims=True)  # (SPAD, 1)
-        reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)), axis=1,
-                          keepdims=True)
 
         out_ref[j] = jnp.zeros((1, blk_w), F32)
 
@@ -411,7 +422,10 @@ def labeled_markerf_pallas(layout, reach_f, reach_b, w, bz,
     blk_w = math.gcd(p, 1024)
     blocks_per_ring = p // blk_w
     n_rows = r * blocks_per_ring
-    k = math.gcd(n_rows, rows_per_step)
+    # Whole rings per grid step so the per-ring reach extraction hoists to
+    # a static once-per-ring event (see _labeled_markerf_kernel).
+    m = math.gcd(r, max(1, rows_per_step // blocks_per_ring))
+    k = blocks_per_ring * m
 
     counts = layout.counts.astype(I32).reshape(1, r)
     w2 = w.astype(F32).reshape(1, r)
@@ -460,7 +474,9 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz,
     blk_w = math.gcd(p, 1024)  # largest power-of-two divisor of p <= 1024
     blocks_per_ring = p // blk_w
     n_rows = r * blocks_per_ring
-    k = math.gcd(n_rows, rows_per_step)
+    # Whole rings per grid step (per-ring reach extraction hoist).
+    m = math.gcd(r, max(1, rows_per_step // blocks_per_ring))
+    k = blocks_per_ring * m
 
     counts = layout.counts.astype(I32).reshape(1, r)
     w2 = w.astype(F32).reshape(1, r)

@@ -69,8 +69,11 @@ def discover_rings(alpha: jax.Array, valid: jax.Array, interval: float,
     def body(k, st):
         angles, matched, count = st
         unmatched = valid & ~matched
-        has = jnp.any(unmatched)
         first = jnp.argmax(unmatched)  # lowest index with True
+        # `any` folded into the argmax result: argmax returns 0 when no
+        # element is True, and unmatched[0] is then False — one 131k
+        # reduce per iteration instead of two (device trace round 4).
+        has = unmatched[first]
         a = alpha[first]
         angles = angles.at[k].set(jnp.where(has, a, inf))
         matched = matched | (has & (jnp.abs(alpha - a) <= tol))
