@@ -48,6 +48,9 @@ def main():
     pts_b = jnp.asarray(np.broadcast_to(pts, (b, n, 4)).copy())
 
     def keys(p):
+        # Keep-gating (star.py's STAR_REP sink segment + r_key=inf for
+        # dropped points) is omitted: operand count and dtypes match the
+        # production sort, so the cost-equality conclusion is unaffected.
         x, y, z = p[:, 0], p[:, 1], p[:, 2]
         r = jnp.sqrt(x * x + y * y)
         fi = jnp.arctan2(y, x)

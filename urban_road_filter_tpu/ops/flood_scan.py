@@ -188,8 +188,10 @@ def _labeled_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
     amortizes the fixed per-grid-step cost (PERF.md round 4); per-row work
     and results are unchanged.  rows_per_step is a multiple of
     blocks_per_ring (whole rings per step), so the per-ring reach-column
-    extraction hoists to a STATIC once-per-ring event of the row loop
-    (it was ~5 ms/step when paid per row, device trace round 4)."""
+    extraction hoists to a STATIC once-per-ring event of the row loop.
+    Measured NEUTRAL (PERF.md step 27: Mosaic had already CSE'd the
+    duplicate per-row extractions); kept for clarity and to guard future
+    rows_per_step changes."""
     step = pl.program_id(0)
     bz = bz_ref[0, 0]
     sp_f = F32(360) - bz
@@ -311,8 +313,9 @@ def _labeled_markerf_kernel(bz_ref, counts_ref, w_ref, reach_ref, alpha_ref,
         row = step * rows_per_step + j
         ring = row // blocks_per_ring
         blk = row % blocks_per_ring
-        if j % blocks_per_ring == 0:  # static: whole rings per step (the
-            # per-ring reach extraction was ~5 ms/step when paid per row)
+        if j % blocks_per_ring == 0:  # static: whole rings per step; the
+            # hoist measured NEUTRAL (Mosaic already CSE'd the per-row
+            # extractions, PERF.md step 27) — kept for clarity
             reach_f = jnp.max(jnp.where(lane == ring, tbl, F32(0)), axis=1,
                               keepdims=True)  # (SPAD, 1)
             reach_b = jnp.max(jnp.where(lane == r + ring, tbl, F32(0)),
@@ -475,6 +478,10 @@ def labeled_pallas(layout, reach_f, reach_b, w, bz,
     blocks_per_ring = p // blk_w
     n_rows = r * blocks_per_ring
     # Whole rings per grid step (per-ring reach extraction hoist).
+    # NOTE: k rounds UP to a whole ring — when blocks_per_ring >
+    # rows_per_step (non-power-of-two p), k = blocks_per_ring exceeds the
+    # requested rows_per_step, growing the per-step alpha/out VMEM blocks.
+    # rows_per_step is therefore a hint, not a cap.
     m = math.gcd(r, max(1, rows_per_step // blocks_per_ring))
     k = blocks_per_ring * m
 
