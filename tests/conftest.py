@@ -108,3 +108,29 @@ def assert_label_parity(got: np.ndarray, want: np.ndarray, min_agree: float,
     assert agree >= min_agree, (
         f"{what} parity {agree:.5f} < {min_agree} "
         f"({int(np.sum(got != want))}/{got.size} disagree)")
+
+
+def assert_labels_exact_or_boundary(got, want, pts, what: str = "labels",
+                                    tol_deg: float = 1e-4) -> None:
+    """Exact-or-classified label gate (VERDICT r3 item 7): every flip must
+    sit within ``tol_deg`` of an integer 1-degree azimuth boundary — the
+    only cross-graph ulp-sensitive label gates left after the SP newY fix
+    are the flood-fill window edges and marker bins, both degree-quantized.
+    A flip anywhere else (including cascades from a flipped blocked bit)
+    is an unexplained, failing divergence."""
+    got = np.asarray(got)
+    want = np.asarray(want)
+    pts = np.asarray(pts)
+    flips = np.nonzero(got != want)[0]
+    if flips.size == 0:
+        return
+    from urban_road_filter_tpu.oracle.reference import azimuth_2d
+
+    _, aa = azimuth_2d(pts[flips, 0].astype(np.float32),
+                       pts[flips, 1].astype(np.float32))
+    aa = np.where(np.isnan(aa), 0.5, aa)  # NaN azimuth: not a bin boundary
+    near = np.abs(aa - np.round(aa)) <= tol_deg
+    assert near.all(), (
+        f"{what}: {int((~near).sum())} UNEXPLAINED label flips of "
+        f"{flips.size} total (non-boundary azimuths "
+        f"{aa[~near][:5].tolist()})")

@@ -5,7 +5,7 @@ import jax
 import numpy as np
 import pytest
 
-from conftest import assert_marker_rows
+from conftest import assert_labels_exact_or_boundary, assert_marker_rows
 
 from urban_road_filter_tpu.config import FilterConfig, PipelineDims
 from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
@@ -41,11 +41,12 @@ def test_sp_matches_single_device(scene, mesh8):
     out = make_azimuth_pipeline(mesh8, cfg, DIMS)(pts)
     ref = process_scan_jit(pts, cfg, DIMS)
 
-    l_sp = np.asarray(out.labels)
-    l_ref = np.asarray(ref.labels)
-    agree = np.mean(l_sp == l_ref)
-    # Up to a handful of flips from newY-table rounding in the halo frame.
-    assert agree >= 0.999, f"{scene}: SP label agreement {agree:.5f}"
+    # Exact-or-classified (VERDICT r3 item 7): with the global-position
+    # newY ladder the SP x-zero is bit-equal to single-device on sorted
+    # inputs; any residual flip must be a cross-graph arcsin ulp at a
+    # 1-degree window boundary — zero unexplained flips allowed.
+    assert_labels_exact_or_boundary(out.labels, ref.labels, np.asarray(pts),
+                                    f"{scene} SP labels")
 
     m_sp = np.asarray(out.markers)
     m_ref = np.asarray(ref.markers)
@@ -141,8 +142,8 @@ def test_sp_sector_360_walks_with_beam_zero(mesh8):
     ref = process_scan_jit(pts, cfg, DIMS)
     l_sp = np.asarray(out.labels)
     l_ref = np.asarray(ref.labels)
-    agree = np.mean(l_sp == l_ref)
-    assert agree >= 0.999, f"SP sector-360 label agreement {agree:.5f}"
+    assert_labels_exact_or_boundary(l_sp, l_ref, np.asarray(pts),
+                                    "SP sector-360 labels")
     # The beam-0 curb mark must be identical (not lost to a stray wedge).
     is_beam0 = np.isin(pts[:, 0], xs) | (np.asarray(pts[:, 1]) == -1e-7)
     np.testing.assert_array_equal(l_sp[np.asarray(is_beam0)],
@@ -224,8 +225,8 @@ def test_sp_four_wedges():
     pts = jax.numpy.asarray(pad_scan(scan, DIMS.max_points))
     out = make_azimuth_pipeline(mesh, cfg, DIMS)(pts)
     ref = process_scan_jit(pts, cfg, DIMS)
-    agree = np.mean(np.asarray(out.labels) == np.asarray(ref.labels))
-    assert agree >= 0.999
+    assert_labels_exact_or_boundary(out.labels, ref.labels, np.asarray(pts),
+                                    "SP 4-wedge labels")
 
 
 def test_sp_collective_sizes_pinned(mesh8):

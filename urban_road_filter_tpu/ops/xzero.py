@@ -27,12 +27,17 @@ def _new_y_table(p: int) -> np.ndarray:
     return (np.arange(p, dtype=np.float64) * 0.01).astype(np.float32)
 
 
-def x_zero(layout: RingLayout, cfg: FilterConfig) -> RingLayout:
+def x_zero(layout: RingLayout, cfg: FilterConfig, new_y=None) -> RingLayout:
+    """``new_y`` (optional): (P,) or (rings, P) newY values per slot.  The
+    azimuth-sharded path passes GLOBAL-ring-position ladder values here so
+    the f32 differences match the single-device pipeline bit-for-bit
+    (VERDICT r3 item 7); default is the local 0-based table."""
     cp = int(cfg.curb_points)
     p = layout.x.shape[-1]
     if p < 2 * cp + 1:
         return layout
-    new_y = jnp.asarray(_new_y_table(p))
+    if new_y is None:
+        new_y = jnp.asarray(_new_y_table(p))
 
     def sh(a, k):  # a[j+k] along the slot axis (wrap garbage is masked out)
         return jnp.roll(a, -k, axis=-1)

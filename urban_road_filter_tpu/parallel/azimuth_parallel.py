@@ -421,11 +421,26 @@ def _x_zero_halo(layout, cfg, frame):
     """x-zero over the extended rows.  The source j may live in the left
     halo (its mark at p2 = j + cp//2 can land on a local point); the window
     [j, j+cp] must be fully materialized (exists) and j must pass the
-    reference's global j-range gate."""
+    reference's global j-range gate.
+
+    The newY ladder (x_zero_method.cpp:24-27) is indexed by GLOBAL ring
+    position, not extended-local column: the f32-rounded table values'
+    differences depend on the absolute index, so a local 0-based ladder
+    would diverge from the single-device pipeline by a few ulp near the
+    angle threshold (VERDICT r3 item 7).  Gather the per-slot global
+    positions from the same f64-accumulated table x_zero uses — SP x-zero
+    is then bit-equal to single-device on azimuth-ordered inputs."""
+    from urban_road_filter_tpu.ops.xzero import _new_y_table
+
     p_ext = layout.x.shape[1]
     cp = frame.cp
+    p_loc = p_ext - 3 * cp
+    d = jax.lax.axis_size(AX)
+    table = jnp.asarray(_new_y_table(p_loc * d))
+    g = frame.prefix[:, None] + (jnp.arange(p_ext)[None, :] - 2 * cp)
+    new_y = table[jnp.clip(g, 0, table.shape[0] - 1)]
     base = x_zero(layout._replace(counts=jnp.full_like(layout.counts, p_ext)),
-                  cfg)
+                  cfg, new_y=new_y)
     s, g_gate, exists, n_local = _stencil_frame_arrays(layout, frame, p_ext)
     src_ok = (g_gate & exists & jnp.roll(exists, -cp, axis=1)
               & (s + 3 * cp < p_ext))  # window end col+cp stays in the row
