@@ -51,38 +51,11 @@ def scene_scans():
     }
 
 
-def marker_rows_boundary_ok(got3: np.ndarray, want3: np.ndarray) -> np.ndarray:
-    """Per-row bool: a disagreeing marker row is LEGITIMATE only when a
-    <=1-ulp numeric difference can flip the per-bin argmax — the two
-    winners are a near-tie in distance, or a winner's azimuth sits within
-    ~2 ulp of an integer 1-degree bin edge (VERDICT r2 item 8: everything
-    else is a real bug, not tolerance)."""
-    import math
-
-    def azimuth(x, y):
-        d2 = np.hypot(np.float64(x), np.float64(y))
-        if d2 == 0:
-            return 0.0
-        b = float(np.clip(np.abs(x) / d2, -1, 1))
-        a = math.degrees(math.asin(b))
-        if x >= 0 and y <= 0:
-            return a
-        if x >= 0:
-            return 180 - a
-        if x < 0 and y >= 0:
-            return 180 + a
-        return 360 - a
-
-    ok = np.zeros(len(got3), bool)
-    for k in range(len(got3)):
-        dj = np.hypot(got3[k, 0], got3[k, 1])
-        do = np.hypot(want3[k, 0], want3[k, 1])
-        near_tie = abs(dj - do) <= 4e-7 * max(dj, do, 1.0)
-        edge = any(
-            abs(azimuth(r[0], r[1]) - round(azimuth(r[0], r[1]))) <= 1e-4
-            for r in (got3[k], want3[k]))
-        ok[k] = near_tie or edge
-    return ok
+# Shared with the TPU bench gate (which must not import conftest — the
+# CPU pin above would poison its backend); single source of truth lives
+# in the package.
+from urban_road_filter_tpu.utils.parity import (  # noqa: E402,F401
+    marker_rows_boundary_ok)
 
 
 def assert_marker_rows(got_rows, want_rows, what: str = "markers") -> None:

@@ -109,6 +109,40 @@ class TestStarStage:
         agree = np.mean((got == LABEL_CURB) == (want == LABEL_CURB))
         assert agree >= 0.999, f"star marks agree {agree:.5f}"
 
+    def test_packed_star_sort_bit_identical(self):
+        """The packed 2-key star sort (ops/star._star_sort) must reproduce
+        the legacy 4-operand stable (beam, radius) sort BIT-FOR-BIT on
+        adversarial streams: (fk, r) ties (stability -> input order), the
+        fk == 360 sink segment with +inf radii, r == 0, and radii one ulp
+        apart."""
+        from urban_road_filter_tpu.ops.star import _star_sort
+
+        rng = np.random.default_rng(7)
+        n = 4096
+        fk = rng.integers(0, 361, n).astype(np.int32)
+        r = np.abs(rng.normal(10, 5, n)).astype(np.float32)
+        # ties: repeat many (fk, r) combos; ulp neighbors; zeros; inf sink
+        r[::7] = r[1::7][: len(r[::7])] if False else r[::7]
+        r[: n // 4] = np.repeat(r[: n // 8], 2)[: n // 4]
+        fk[: n // 4] = np.repeat(fk[: n // 8], 2)[: n // 4]
+        r[n // 4: n // 4 + 64] = np.nextafter(
+            r[n // 4: n // 4 + 64], np.inf, dtype=np.float32)
+        r[-64:] = 0.0
+        sink = fk == 360
+        r = np.where(sink, np.float32(np.inf), r)
+        z = rng.normal(size=n).astype(np.float32)
+        iota = np.arange(n, dtype=np.int32)
+
+        want = jax.lax.sort(
+            (jnp.asarray(fk), jnp.asarray(r), jnp.asarray(z),
+             jnp.asarray(iota)), dimension=0, num_keys=2, is_stable=True)
+        got = _star_sort(jnp.asarray(fk), jnp.asarray(r), jnp.asarray(z),
+                         jnp.asarray(iota), n)
+        for g, w, name in zip(got, want, ["fk", "r", "z", "pid"]):
+            g, w = np.asarray(g), np.asarray(w)
+            assert g.dtype == w.dtype, name
+            assert np.array_equal(g.view(np.int32), w.view(np.int32)), name
+
     def test_starbeam_filter_variant(self):
         cfg = FilterConfig(starbeam_filter=True)
         pts = roi_points("two_curbs", seed=3)

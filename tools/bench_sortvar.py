@@ -8,8 +8,11 @@ Variants (all produce bit-identical (fk_s, r_s, z_s, pid_s) streams):
       stable flag makes XLA append a hidden iota operand, so v1 saves one.
   v2  all-i32 keys: r >= 0 bitcast to i32 is order-isomorphic (sign bit 0,
       +inf = 0x7f800000 sorts last); keys (f, rb, iota), payload z.
-  v3  packed tiebreak: rb fits 31 bits; (rb << 17 | iota)? DOES NOT FIT —
-      skipped, kept here as the record of why.
+  v3  packed 2-word keys (round 4, now the production path — ops/star.py
+      _star_sort): one word cannot hold rb+iota (31+17 bits), but TWO can
+      hold all three of (f, rb, iota): hi = f<<22 | rb>>9 (31 bits),
+      lo = (rb & 0x1ff)<<17 | iota (26 bits) — a 3-operand sort carrying
+      the z payload, one full operand cheaper than v0-v2.
 
 Usage: python tools/bench_sortvar.py [--batch 128] [--iters 10]
 Run alone (never overlap TPU jobs), from /root/repo with inherited env.
@@ -77,11 +80,17 @@ def main():
                                        num_keys=3, is_stable=False)
         return fs, jax.lax.bitcast_convert_type(rbs, jnp.float32), zs, ps
 
+    def v3(p):
+        from urban_road_filter_tpu.ops.star import _star_sort
+
+        f, r, z, iota = keys(p)
+        return _star_sort(f, r, z, iota, n)
+
     np.asarray(jnp.zeros((8,), jnp.int32))  # tunnel warm-up
 
     ref = None
     for name, fn in (("v0 2key-stable ", v0), ("v1 3key        ", v1),
-                     ("v2 3key-i32    ", v2)):
+                     ("v2 3key-i32    ", v2), ("v3 packed-2word", v3)):
         jf = jax.jit(jax.vmap(fn))
         try:
             outs = jf(pts_b)

@@ -133,8 +133,12 @@ def discover_rings(alpha: np.ndarray, interval: float) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def star_shaped_search(x: np.ndarray, y: np.ndarray, z: np.ndarray,
-                       labels: np.ndarray, cfg: FilterConfig) -> None:
-    """Marks labels[i] = 2 in place, exactly like beamfunc over 360 beams."""
+                       labels: np.ndarray, cfg: FilterConfig,
+                       edge_nudge: float = 0.0) -> None:
+    """Marks labels[i] = 2 in place, exactly like beamfunc over 360 beams.
+
+    edge_nudge: relative scale applied to the azimuth just before beam
+    quantization (see run_oracle) — 0.0 is the exact reference semantics."""
     yx_t, d_t, o_t = beam_tables()
     # slope_param: f32(angleFilter3_f32 * (M_PI/180)) (star_shaped_search.cpp:160)
     slope_param = F32(F64(F32(cfg.curb_slope_deg)) * (math.pi / 180.0))
@@ -150,6 +154,8 @@ def star_shaped_search(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     fi = np.arctan2(y.astype(F64), x.astype(F64)).astype(F32)
     neg = fi < 0  # note: -0.0 is NOT < 0, same as the C++
     fi = np.where(neg, (fi.astype(F64) + 2.0 * math.pi).astype(F32), fi)
+    if edge_nudge:
+        fi = (fi * F32(1.0 + edge_nudge)).astype(F32)
     f = (fi * STAR_KFI).astype(np.int32)  # truncation toward zero
     # f == rep IS reachable (fi a few ulps below 2pi rounds up through the
     # f32 multiply).  The C++ would dereference a NULL beamp[360] here —
@@ -476,11 +482,21 @@ def _marker_search(ring_x, ring_y, ring_z, ring_alpha, ring_label, num_rings):
 # Full pipeline
 # --------------------------------------------------------------------------
 
-def run_oracle(points: np.ndarray, cfg: Optional[FilterConfig] = None) -> OracleResult:
+def run_oracle(points: np.ndarray, cfg: Optional[FilterConfig] = None,
+               edge_nudge: float = 0.0) -> OracleResult:
     """Run the full reference pipeline on one scan.
 
     points: (N, >=3) float array of x, y, z (column 3+, e.g. intensity,
     is carried along but never used by the algorithms, matching PointXYZI).
+
+    edge_nudge: relative scale (e.g. +-4e-7, a few f32 ulp) applied to
+    every azimuth value right before it is compared against a 1-degree
+    quantization edge (star beam binning, marker bins, flood-fill window
+    arithmetic).  Used by parity gates to build the oracle's own
+    *sensitivity envelope*: a device flip reproduced by a +-few-ulp edge
+    nudge — including its flood-fill cascade — is boundary-class, not a
+    systematic divergence.  0.0 (default) is the exact reference
+    semantics.
     """
     cfg = cfg or FilterConfig()
     points = np.asarray(points, dtype=F32)
@@ -503,7 +519,7 @@ def run_oracle(points: np.ndarray, cfg: Optional[FilterConfig] = None) -> Oracle
 
     labels2d = np.zeros(piece, np.int16)
     if cfg.star_shaped_method:
-        star_shaped_search(x, y, z, labels2d, cfg)
+        star_shaped_search(x, y, z, labels2d, cfg, edge_nudge=edge_nudge)
 
     # Ring binning (lidar_segmentation.cpp:205-278): first match in
     # ascending-angle order; unmatched points dropped.
@@ -514,6 +530,11 @@ def run_oracle(points: np.ndarray, cfg: Optional[FilterConfig] = None) -> Oracle
     ring_of_point = np.where(has, match.argmax(axis=1), -1).astype(np.int32)
 
     d2, alpha_a = azimuth_2d(x, y)
+    if edge_nudge:
+        # Envelope mode: perturb the azimuth a few ulp before the degree-
+        # quantized stages (flood windows, marker bins) read it.  Positive
+        # scale preserves per-ring sort order.
+        alpha_a = (alpha_a * F32(1.0 + edge_nudge)).astype(F32)
 
     ring_x, ring_y, ring_z, ring_a, ring_l, ring_ids = [], [], [], [], [], []
     max_distance = np.zeros(CHANNELS, F32)
