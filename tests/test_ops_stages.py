@@ -137,7 +137,7 @@ class TestStarStage:
             (jnp.asarray(fk), jnp.asarray(r), jnp.asarray(z),
              jnp.asarray(iota)), dimension=0, num_keys=2, is_stable=True)
         got = _star_sort(jnp.asarray(fk), jnp.asarray(r), jnp.asarray(z),
-                         jnp.asarray(iota), n)
+                         jnp.asarray(iota), n, packed=True)
         for g, w, name in zip(got, want, ["fk", "r", "z", "pid"]):
             g, w = np.asarray(g), np.asarray(w)
             assert g.dtype == w.dtype, name

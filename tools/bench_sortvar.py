@@ -8,11 +8,13 @@ Variants (all produce bit-identical (fk_s, r_s, z_s, pid_s) streams):
       stable flag makes XLA append a hidden iota operand, so v1 saves one.
   v2  all-i32 keys: r >= 0 bitcast to i32 is order-isomorphic (sign bit 0,
       +inf = 0x7f800000 sorts last); keys (f, rb, iota), payload z.
-  v3  packed 2-word keys (round 4, now the production path — ops/star.py
-      _star_sort): one word cannot hold rb+iota (31+17 bits), but TWO can
-      hold all three of (f, rb, iota): hi = f<<22 | rb>>9 (31 bits),
+  v3  packed 2-word keys (round 4 — ops/star.py _star_sort(packed=True)):
+      one word cannot hold rb+iota (31+17 bits), but TWO can hold all
+      three of (f, rb, iota): hi = f<<22 | rb>>9 (31 bits),
       lo = (rb & 0x1ff)<<17 | iota (26 bits) — a 3-operand sort carrying
-      the z payload, one full operand cheaper than v0-v2.
+      the z payload.  MEASURED SLOWER (580.9 vs v0's 507.2 us/scan):
+      operand count is not the cost driver, and the pack/unpack passes
+      don't fuse into the sort.  Production stays on v0.
 
 Usage: python tools/bench_sortvar.py [--batch 128] [--iters 10]
 Run alone (never overlap TPU jobs), from /root/repo with inherited env.
@@ -84,7 +86,7 @@ def main():
         from urban_road_filter_tpu.ops.star import _star_sort
 
         f, r, z, iota = keys(p)
-        return _star_sort(f, r, z, iota, n)
+        return _star_sort(f, r, z, iota, n, packed=True)
 
     np.asarray(jnp.zeros((8,), jnp.int32))  # tunnel warm-up
 

@@ -73,37 +73,28 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     return jnp.where(marks, LABEL_CURB, labels), overflow
 
 
-def _star_sort(fk, r_key, z, iota, n: int):
-    """(beam, radius, input-order) sort of the 4 star streams.
+def _star_sort(fk, r_key, z, iota, n: int, packed: bool = False):
+    """(beam, radius, input-order) sort of the 4 star streams: a 4-operand
+    stable 2-key `lax.sort`.
 
-    The naive form is a 4-operand stable 2-key `lax.sort`; its cost is
-    ~linear in operand count (PERF.md round-4 dead ends: every key/
-    stability variant measured EQUAL, dropping the z payload loses).  This
-    packs (fk, r, pid) EXACTLY into two non-negative i32 keys, cutting the
-    bitonic network to 3 operands:
-
-        hi = fk << 22 | r_bits >> 9        (9 + 22 = 31 bits)
-        lo = (r_bits & 0x1ff) << pb | pid  (9 + pb <= 31 bits)
-
-    where r_bits = bitcast(r) is order-isomorphic to r (r >= 0 always:
-    radii are non-negative and dropped points carry +inf), fk <= 360 fits
-    9 bits, and pid < n fits pb = ceil(log2(n)) bits.  Lexicographic
-    (hi, lo) == lexicographic (fk, r_bits, pid) == the stable 2-key order
-    (pid ascending == input order on ties), so the unpacked streams are
-    BIT-IDENTICAL to the legacy sort (pinned by
-    tests/test_ops_stages.py::test_packed_star_sort_bit_identical and
-    tools/bench_sortvar.py v3).  Falls back to the 4-operand sort when n
-    is too large to pack (> 2^22 points)."""
-    pb = max(1, (n - 1).bit_length())
-    if 9 + pb > 31:
+    `packed=True` selects the round-4 experiment: (fk, r, pid) packed
+    EXACTLY into two non-negative i32 keys (hi = fk<<22 | r_bits>>9,
+    lo = (r_bits & 0x1ff)<<pb | pid, with r_bits = bitcast(r)
+    order-isomorphic for the always-non-negative radii and pb =
+    ceil(log2(n)) <= 22), cutting the network to 3 operands with
+    bit-identical output (pinned by tests/test_ops_stages.py::
+    test_packed_star_sort_bit_identical).  MEASURED SLOWER on TPU
+    (tools/bench_sortvar.py v3: 580.9 vs 507.2 us/scan for the legacy
+    sort) — operand count is NOT the sort's cost driver and the
+    pack/unpack elementwise passes do not fuse into the sort's operand
+    buffers; kept for the record (PERF.md round-4 dead ends)."""
+    if not packed or 9 + max(1, (n - 1).bit_length()) > 31:
         return jax.lax.sort((fk, r_key, z, iota), dimension=0, num_keys=2,
                             is_stable=True)
+    pb = max(1, (n - 1).bit_length())
     r_bits = jax.lax.bitcast_convert_type(r_key, I32)
     hi = (fk << I32(22)) | (r_bits >> I32(9))
     lo = ((r_bits & I32(0x1FF)) << I32(pb)) | iota
-    # Total order (pids distinct) -> stability is irrelevant; the
-    # non-stable network was measured equal-cost per extra operand
-    # (tools/bench_sortvar.py v1).
     hi_s, lo_s, z_s = jax.lax.sort((hi, lo, z), dimension=0, num_keys=2,
                                    is_stable=False)
     fk_s = hi_s >> I32(22)
