@@ -2,6 +2,7 @@
 (SURVEY.md section 4, item 5: streaming integration)."""
 
 import json
+import time
 import os
 
 import numpy as np
@@ -256,6 +257,32 @@ class TestReplay:
         assert o.stats.num_rings > 0
         # marker strips assembled when >2 markers
         assert isinstance(o.marker_strips, list)
+
+    def test_dropped_scans_never_staged(self, monkeypatch):
+        """Queue-1 drop semantics must be FREE: a dropped scan is consumed
+        raw, never padded/device_put (the reference discards the unparsed
+        message, lidar_segmentation.cpp:53; on a tunneled backend staging
+        costs ~180 ms/scan — round-4 soak finding)."""
+        h = ReplayHarness(dims=DIMS, rate_hz=1000.0, drop_when_behind=True)
+        staged = []
+        orig = ReplayHarness._to_device
+
+        def counting(self, raw):
+            staged.append(1)
+            time.sleep(0.01)  # 10 ms per scan >> the 1 ms period: must lag
+            return orig(self, raw)
+
+        monkeypatch.setattr(ReplayHarness, "_to_device", counting)
+        m = h.run(scene_source("flat", n_scans=40, n_rings=16,
+                               n_azimuth=256))
+        s = m.summary()
+        assert s["dropped"] > 0, s
+        assert s["scans"] + s["dropped"] + s["errors"] == 40
+        # Every staging call fed a processed scan, except the one
+        # already-staged scan a drop burst discards (sunk cost of the
+        # stage-ahead overlap); the 39 drops paid nothing.
+        assert len(staged) <= s["scans"] + 1, (len(staged), s)
+        assert h._seq == 40  # checkpoint accounting covers drops
 
     def test_checkpoint_resume(self, tmp_path):
         ck = str(tmp_path / "ck.json")

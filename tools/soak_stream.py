@@ -1,0 +1,136 @@
+"""TPU streaming soak of the L0 replay loop (VERDICT r3 item 4).
+
+The reference *is* a live node: one scan at a time, queue depth 1, scans
+dropped when processing lags the sensor (lidar_segmentation.cpp:53).
+`ReplayHarness` implements those semantics; this soak proves them ON THE
+DEVICE, end-to-end (full 131k-pt scans, postprocess + marker strips on
+host), and writes STREAM_r04.json:
+
+  phase "10hz":     >= 60 s at the sensor rate, drop mode — p50/p99
+                    latency, drops, errors (expected: keeps up, 0 drops).
+  phase "overload": ~20 s at 30 Hz — the period is below the per-scan
+                    latency, so queue-1 drops MUST engage; proves the
+                    drop counter on real hardware.
+  phase "flatout":  >= 60 s at rate 0 — the single-scan streaming
+                    throughput ceiling (per-scan dispatch NOT amortized:
+                    bench.py's batch-8 figure is ~3.5 ms/scan because 8
+                    scans share one ~30 ms dispatched step; a 1-scan loop
+                    pays the full step per scan).
+  phase "resume":   checkpoint every scan, hard-stop mid-stream, build a
+                    FRESH harness on the same checkpoint, finish — seq
+                    must land exactly at stream length with no scan
+                    processed twice.
+
+Scans come from a 16-scan pregenerated pool cycled to length (host scan
+generation is slower than 10 Hz on this 1-core box; the device sees a
+fresh buffer every scan regardless).
+
+Usage: python tools/soak_stream.py [--seconds 60] [--out STREAM_r04.json]
+Run alone (never overlap TPU jobs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def scan_pool(n_pool: int = 16):
+    from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
+
+    scenes = ["two_curbs", "blind_spot", "curb_gap", "wall"]
+    return [make_scan(SCENES[scenes[i % len(scenes)]](), n_rings=64,
+                      n_azimuth=2048, seed=i) for i in range(n_pool)]
+
+
+def cycle_source(pool, n):
+    return itertools.islice(itertools.cycle(pool), n)
+
+
+def pcts(metrics):
+    s = metrics.summary()
+    out = {k: s[k] for k in ("scans", "dropped", "errors", "scans_per_sec")}
+    out["latency_ms_p50"] = s["latency_ms"]["p50"]
+    out["latency_ms_p99"] = s["latency_ms"]["p99"]
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--out", default="STREAM_r04.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from urban_road_filter_tpu.config import FilterConfig, PipelineDims
+    from urban_road_filter_tpu.io.replay import ReplayHarness
+
+    cfg = FilterConfig()
+    dims = PipelineDims(max_points=131072, rings=64, ring_capacity=2048,
+                        beam_capacity=512)
+    pool = scan_pool()
+    result = {"device": None, "points_per_scan": dims.max_points}
+
+    # Warm-up: compile + first D2H outside any timed phase.
+    warm = ReplayHarness(cfg, dims)
+    warm.run(cycle_source(pool, 2))
+    result["device"] = str(jax.devices()[0])
+
+    # Phase 1: sensor rate, drop mode.
+    n10 = int(10 * args.seconds)
+    h = ReplayHarness(cfg, dims, rate_hz=10.0, drop_when_behind=True)
+    t0 = time.perf_counter()
+    m = h.run(cycle_source(pool, n10))
+    result["10hz"] = {**pcts(m), "wall_s": round(time.perf_counter() - t0, 1)}
+
+    # Phase 2: overload at 30 Hz — queue-1 drops must engage.
+    h = ReplayHarness(cfg, dims, rate_hz=30.0, drop_when_behind=True)
+    t0 = time.perf_counter()
+    m = h.run(cycle_source(pool, int(30 * min(args.seconds, 20.0))))
+    result["overload_30hz"] = {**pcts(m),
+                               "wall_s": round(time.perf_counter() - t0, 1)}
+
+    # Phase 3: flat-out single-scan streaming.  run() has no wall-clock
+    # stop, so size the scan count from the observed p50 latency to land
+    # near the requested duration.
+    p50 = max(result["10hz"]["latency_ms_p50"], 1.0)
+    nf = max(int(args.seconds * 1000.0 / p50), 200)
+    h = ReplayHarness(cfg, dims, rate_hz=0.0)
+    t0 = time.perf_counter()
+    m = h.run(cycle_source(pool, nf))
+    result["flatout"] = {**pcts(m),
+                         "wall_s": round(time.perf_counter() - t0, 1)}
+
+    # Phase 4: checkpoint/resume across a mid-run restart.
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="urf_soak_"), "ckpt.json")
+    total = 60
+    h1 = ReplayHarness(cfg, dims, checkpoint_path=ckpt)
+    m1 = h1.run(cycle_source(pool, total), max_scans=total // 2)
+    h2 = ReplayHarness(cfg, dims, checkpoint_path=ckpt)  # fresh process sim
+    m2 = h2.run(cycle_source(pool, total))
+    s1, s2 = m1.summary(), m2.summary()
+    assert s1["scans"] == total // 2, s1
+    assert s2["scans"] == total - total // 2, (s1, s2)
+    assert h2._seq == total, h2._seq
+    result["resume"] = {"first_half_scans": s1["scans"],
+                        "second_half_scans": s2["scans"],
+                        "final_seq": h2._seq,
+                        "errors": s1["errors"] + s2["errors"]}
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,6 +154,14 @@ class ReplayHarness:
         return int(state.get("seq", 0))
 
     # ---- main loop ----
+    def _to_device(self, raw: np.ndarray):
+        import jax
+
+        from urban_road_filter_tpu.pipeline import pad_scan
+
+        return jax.device_put(jax.numpy.asarray(
+            pad_scan(raw, self.dims.max_points)))
+
     def _stage(self, it: Iterator[np.ndarray]):
         """Pull + device-stage the next scan.  A malformed scan (bad shape,
         unparsable file) is counted as an error and skipped so one bad scan
@@ -165,18 +173,13 @@ class ReplayHarness:
         At stream end returns (None, None, n_skipped) so trailing malformed
         scans still get charged to ``_seq`` (checkpoint correctness: a
         resumed run must not re-consume and re-error them)."""
-        import jax
-
-        from urban_road_filter_tpu.pipeline import pad_scan
-
         skipped = 0
         while True:
             raw = next(it, None)
             if raw is None:
                 return (None, None, skipped)
             try:
-                return (raw, jax.device_put(jax.numpy.asarray(
-                    pad_scan(raw, self.dims.max_points))), skipped)
+                return (raw, self._to_device(raw), skipped)
             except Exception as e:  # noqa: BLE001 — isolate any scan fault
                 self.metrics.record_error(f"stage: {e!r}")
                 skipped += 1
@@ -223,6 +226,11 @@ class ReplayHarness:
             if err is None:
                 try:
                     out = jax.block_until_ready(out)
+                    # Fetch-sync before stamping latency: on the tunneled
+                    # axon backend block_until_ready can return before the
+                    # computation drains (CLAUDE.md) — a tiny scalar fetch
+                    # forces it, so latency_ms is honest device time.
+                    np.asarray(out.ok)
                     latency_ms = (time.perf_counter() - t0) * 1e3
                     outputs = self._postprocess(raw, out, latency_ms)
                 except Exception as e:  # noqa: BLE001
@@ -242,15 +250,34 @@ class ReplayHarness:
                 next_deadline += period
                 lag = time.perf_counter() - next_deadline
                 if lag > 0 and self.drop_when_behind:
-                    # Behind schedule: drop staged scans (queue depth 1).
+                    # Behind schedule: drop scans (queue depth 1).  Dropped
+                    # scans are consumed RAW, never padded or device_put —
+                    # the reference's queue-1 drop discards the message
+                    # unparsed for free (lidar_segmentation.cpp:53), and on
+                    # a tunneled backend staging costs ~180 ms/scan (a
+                    # round-4 soak showed drops at staging price collapse
+                    # 10 Hz mode to 0.3 scans/s).  A malformed dropped scan
+                    # is a drop, not an error (it was never looked at).
                     n_skip = int(lag / period)
+                    restage = False
                     for _ in range(n_skip):
                         if pending[0] is None:
                             break
                         self._seq += pending[2] + 1  # dropped scan's position
-                        pending = self._stage(it)
+                        pending = (next(it, None), None, 0)
+                        restage = True
                         self.metrics.record_drop()
                         next_deadline += period
+                    if restage and pending[0] is not None:
+                        # Stage the survivor (H2D deferred during drops).
+                        try:
+                            pending = (pending[0],
+                                       self._to_device(pending[0]), 0)
+                        except Exception as e:  # noqa: BLE001
+                            self.metrics.record_error(f"stage: {e!r}")
+                            nxt = self._stage(it)
+                            # the failed survivor occupies a stream position
+                            pending = (nxt[0], nxt[1], nxt[2] + 1)
                     self._save_checkpoint()  # drops moved _seq: persist them
                 elif lag < 0:
                     time.sleep(-lag)
