@@ -10,6 +10,7 @@ code path (urban_road_filter_tpu/io/rosbag.py).
 Usage:
     python tools/make_bag.py out.bag --pcd-dir tests/fixtures
     python tools/make_bag.py out.bag --scene two_curbs --scans 20
+    python tools/make_bag.py drive.bag --drive os1_64 --scans 300
 """
 
 from __future__ import annotations
@@ -27,6 +28,12 @@ def main() -> None:
     ap.add_argument("--pcd-dir", default=None)
     ap.add_argument("--npz", default=None)
     ap.add_argument("--scene", default=None)
+    ap.add_argument("--drive", default=None, metavar="SENSOR",
+                    help="recorded-style procedural drive with the named "
+                         "sensor model (vlp16 / os1_64 / os1_128)")
+    ap.add_argument("--firings", type=int, default=None,
+                    help="firings per revolution override (--drive)")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scans", type=int, default=10)
     ap.add_argument("--topic", default="/left_os1/os1_cloud_node/points")
     ap.add_argument("--rate-hz", type=float, default=10.0)
@@ -34,7 +41,13 @@ def main() -> None:
 
     from urban_road_filter_tpu.io.rosbag import write_bag
 
-    if args.pcd_dir:
+    if args.drive:
+        from urban_road_filter_tpu.io.synthetic import make_drive
+
+        scans = list(make_drive(args.scans, sensor=args.drive,
+                                seed=args.seed, rate_hz=args.rate_hz,
+                                firings=args.firings))
+    elif args.pcd_dir:
         from urban_road_filter_tpu.io.replay import pcd_dir_source
 
         scans = list(pcd_dir_source(args.pcd_dir))
