@@ -144,6 +144,18 @@ def main() -> None:
     parity_pairs["curb_gap/interval"], systematic["curb_gap/interval"] = (
         _parity(raw4, o4, cfg4, "curb_gap/interval"))
 
+    # Emulated-sensor pair (VERDICT r3 item 3: TPU parity on the realistic
+    # corpus, not just piecewise-flat scenes): a full-rate OS1-64 drive
+    # scan — gradient beam table, azimuth skew, noise, dropout, clutter.
+    # Default cfg/dims -> jit cache hit on the pair-1 graph.
+    from urban_road_filter_tpu.io.synthetic import make_drive as _mkdrive
+
+    raw5 = pad_scan(next(_mkdrive(1, sensor="os1_64", seed=41)),
+                    dims.max_points)
+    o5 = process_scan_jit(jax.numpy.asarray(raw5), cfg, dims)
+    parity_pairs["os1_64_drive/default"], systematic["os1_64_drive/default"] = (
+        _parity(raw5, o5, cfg, "os1_64_drive/default"))
+
     parity = min(parity_pairs.values())
     parity_systematic = sum(systematic.values())
     assert parity >= 0.999, f"on-device parity {parity_pairs} min < 0.999"
