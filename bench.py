@@ -117,6 +117,18 @@ def main() -> None:
         return device_parity_gate(raw_scan, jout.labels, jout.markers,
                                   pcfg, name)
 
+    def _parity_b8(raw_scan, pcfg, name):
+        """Gate through the BATCH-8 graph: since round 4 the production
+        batch path runs the fused ingest kernels (ops/ingest_scan.py) that
+        the single-scan graph intentionally skips (B=1 sublane util), so
+        the gate must exercise the batch graph.  Compile economy: the
+        default-cfg b8 graph is also the small-batch timing graph below
+        (one trace), and the starbeam flip costs one extra b8 trace —
+        the same count as the former single-scan gate."""
+        o = process_batch_jit(jax.numpy.asarray(
+            np.broadcast_to(raw_scan, (8,) + raw_scan.shape)), pcfg, dims)
+        return _parity(raw_scan, jax.tree.map(lambda a: a[0], o), pcfg, name)
+
     full_scene = dict(n_rings=64, n_azimuth=2048)
     parity_pairs, systematic = {}, {}
 
@@ -126,35 +138,37 @@ def main() -> None:
 
     cfg2 = cfg.replace(beam_zone=45.5, curb_height=0.11,
                        cylinder_deg_x=140.0, curb_slope_deg=45.0)
-    o2 = process_scan_jit(pts[1], cfg2, dims)  # dynamic swap: cache hit
     parity_pairs["blind_spot/dyn-swap"], systematic["blind_spot/dyn-swap"] = (
-        _parity(scans[1], o2, cfg2, "blind_spot/dyn-swap"))
+        _parity_b8(scans[1], cfg2, "blind_spot/dyn-swap"))  # dyn: cache hit
 
     cfg3 = cfg.replace(starbeam_filter=True, dmin_param=8)
     raw3 = pad_scan(_mk(SCENES["two_curbs"](), seed=31, **full_scene),
                     dims.max_points)
-    o3 = process_scan_jit(jax.numpy.asarray(raw3), cfg3, dims)
     parity_pairs["two_curbs/starbeam"], systematic["two_curbs/starbeam"] = (
-        _parity(raw3, o3, cfg3, "two_curbs/starbeam"))
+        _parity_b8(raw3, cfg3, "two_curbs/starbeam"))
 
     cfg4 = cfg3.replace(interval=0.3, beam_zone=42.5)  # cache hit on cfg3's graph
     raw4 = pad_scan(_mk(SCENES["curb_gap"](), seed=32, **full_scene),
                     dims.max_points)
-    o4 = process_scan_jit(jax.numpy.asarray(raw4), cfg4, dims)
     parity_pairs["curb_gap/interval"], systematic["curb_gap/interval"] = (
-        _parity(raw4, o4, cfg4, "curb_gap/interval"))
+        _parity_b8(raw4, cfg4, "curb_gap/interval"))
 
     # Emulated-sensor pair (VERDICT r3 item 3: TPU parity on the realistic
     # corpus, not just piecewise-flat scenes): a full-rate OS1-64 drive
     # scan — gradient beam table, azimuth skew, noise, dropout, clutter.
-    # Default cfg/dims -> jit cache hit on the pair-1 graph.
+    # Default cfg/dims -> jit cache hit on the b8 graph.
     from urban_road_filter_tpu.io.synthetic import make_drive as _mkdrive
 
     raw5 = pad_scan(next(_mkdrive(1, sensor="os1_64", seed=41)),
                     dims.max_points)
-    o5 = process_scan_jit(jax.numpy.asarray(raw5), cfg, dims)
     parity_pairs["os1_64_drive/default"], systematic["os1_64_drive/default"] = (
-        _parity(raw5, o5, cfg, "os1_64_drive/default"))
+        _parity_b8(raw5, cfg, "os1_64_drive/default"))
+
+    # The single-scan graph (XLA ingest, the latency path measured above)
+    # keeps one gated pair too.
+    o1s = process_scan_jit(pts[1], cfg2, dims)  # cache hit on the p50 graph
+    parity_pairs["blind_spot/single-scan"], systematic["blind_spot/single-scan"] = (
+        _parity(scans[1], o1s, cfg2, "blind_spot/single-scan"))
 
     parity = min(parity_pairs.values())
     parity_systematic = sum(systematic.values())

@@ -673,3 +673,132 @@ class TestFloodScanInterpret:
                                  alpha=jnp.asarray(alpha),
                                  label=jnp.asarray(lab))
         self._check(layout, nr, cfg)
+
+
+class TestIngestKernelsInterpret:
+    """ops/ingest_scan.py vs the XLA ingest formulations (VERDICT r3
+    item 6): bit-equal ROI mask / star sort keys / in-ROI count, and
+    bit-equal ring assignment on the NaN-masked vertical angle."""
+
+    def _scan(self, scene="two_curbs", seed=3, n=8192):
+        from urban_road_filter_tpu.pipeline import pad_scan
+
+        pts = pad_scan(make_scan(SCENES[scene](), n_rings=24, n_azimuth=384,
+                                 seed=seed), n)
+        # Adversarial rows: exact ROI boundary hits, the x+y+z == 0 drop,
+        # a near-2pi azimuth whose f32 sector index rounds to exactly
+        # STAR_REP (the %-wrap case), and axis-aligned points.
+        cfg = FilterConfig()
+        pts[0] = (cfg.max_x, 0.5, -0.5, 0)      # on the max_x bound: kept
+        pts[1] = (cfg.min_x, -0.5, 0.5, 0)      # on the min_x bound: kept
+        pts[2] = (1.0, 2.0, -3.0, 0)            # x+y+z == 0: dropped
+        pts[3] = (40.0, -1e-6, 0.2, 0)          # fi wraps to ~2pi: f -> 360?
+        pts[4] = (5.0, 0.0, 0.1, 0)             # fi == 0 exactly
+        pts[5] = (0.0, 5.0, 0.1, 0)             # fi == pi/2
+        pts[6] = (0.0, 0.0, 4.0, 0)             # x=y=0: NaN 2-D azimuth path
+        return pts, cfg
+
+    @pytest.mark.parametrize("batch", [1, 4])
+    def test_ingest_prep_matches_xla(self, batch):
+        import math
+
+        from urban_road_filter_tpu.constants import STAR_KFI, STAR_REP
+        from urban_road_filter_tpu.ops.ingest_scan import ingest_prep_pallas
+
+        pts, cfg = self._scan()
+        ptsb = np.stack([pts] * batch)
+        if batch > 1:
+            ptsb[-1, 7:100] = 0  # vary the last scan's in-ROI count
+        x, y, z = (jnp.asarray(ptsb[..., i]) for i in range(3))
+        fi_raw = jnp.arctan2(y, x)
+
+        got_valid, got_fk, got_rk, got_piece = ingest_prep_pallas(
+            x, y, z, fi_raw, cfg, interpret=True)
+        got_valid, got_fk, got_rk = got_valid[0], got_fk[0], got_rk[0]
+
+        want_valid = geometry.roi_mask(jnp.asarray(pts), cfg)
+
+        # The ops/star.py pre-sort key math, verbatim (star.py:119-144).
+        # JITTED like the production pipeline: eager XLA CPU skips the FMA
+        # in x*x + y*y that both the jitted graph and the interpreted
+        # kernel emit, a 1-ulp cross-graph artifact of the CPU backend
+        # only (CLAUDE.md; on the real TPU Mosaic and XLA are bit-equal
+        # for this expression, tools/probe_ingest_math.py sqrt_mod).
+        @jax.jit
+        def want_keys(x, y, fi_raw, want_valid):
+            r = jnp.sqrt(x * x + y * y)
+            fi = jnp.where(fi_raw < 0, fi_raw + F32(2.0 * math.pi), fi_raw)
+            f = (fi * F32(STAR_KFI)).astype(jnp.int32) % np.int32(STAR_REP)
+            return (jnp.where(want_valid, f, STAR_REP),
+                    jnp.where(want_valid, r, jnp.inf))
+
+        want_fk, want_rk = want_keys(x[0], y[0], fi_raw[0], want_valid)
+
+        np.testing.assert_array_equal(np.asarray(got_valid),
+                                      np.asarray(want_valid))
+        np.testing.assert_array_equal(np.asarray(got_fk), np.asarray(want_fk))
+        np.testing.assert_array_equal(np.asarray(got_rk), np.asarray(want_rk))
+        assert int(got_piece[0]) == int(np.asarray(want_valid).sum())
+        # Per-scan counts stay per-sublane: the modified last scan differs.
+        want_last = geometry.roi_mask(jnp.asarray(ptsb[-1]), cfg)
+        assert int(got_piece[-1]) == int(np.asarray(want_last).sum())
+
+    @pytest.mark.parametrize("rings", [24, 64])
+    def test_assign_rings_matches_xla(self, rings):
+        # Batch of 3 scans with DIFFERENT ring tables (different seeds):
+        # each sublane must bin against its own table.
+        from urban_road_filter_tpu.ops.ingest_scan import assign_rings_pallas
+
+        alphas, tables, wants = [], [], []
+        for seed in (rings, rings + 1, rings + 2):
+            pts, cfg = self._scan(seed=seed)
+            x, y, z = (jnp.asarray(pts[:, i]) for i in range(3))
+            valid = geometry.roi_mask(jnp.asarray(pts), cfg)
+            _, alpha_v = geometry.vertical_angles(x, y, z)
+            angles, _ = geometry.discover_rings(alpha_v, valid, cfg.interval,
+                                                rings=rings)
+            wants.append(geometry.assign_rings(alpha_v, valid, angles,
+                                               cfg.interval))
+            alphas.append(jnp.where(valid, alpha_v, jnp.nan))
+            tables.append(angles)
+
+        got = assign_rings_pallas(jnp.stack(alphas), jnp.stack(tables),
+                                  cfg.interval, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.stack([np.asarray(w) for w in wants]))
+
+    def test_assign_rings_empty_table(self):
+        # No rings discovered (all-invalid scan): every point -> `rings`.
+        from urban_road_filter_tpu.ops.ingest_scan import assign_rings_pallas
+
+        alpha_m = jnp.full((1, 512), jnp.nan, jnp.float32)
+        angles = jnp.full((1, 24), jnp.inf, jnp.float32)
+        got = assign_rings_pallas(alpha_m, angles, 0.18, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.full((1, 512), 24))
+
+    @pytest.mark.parametrize("rings", [24, 64])
+    def test_discover_rings_matches_xla(self, rings):
+        # Batch of 3 scans (different seeds): the greedy must run per
+        # sublane, bit-equal to geometry.discover_rings on (alpha, valid).
+        from urban_road_filter_tpu.ops.ingest_scan import discover_rings_pallas
+
+        alphas, want_angles, want_counts = [], [], []
+        for seed in (rings, rings + 5, rings + 6):
+            pts, cfg = self._scan(seed=seed)
+            if seed == rings + 6:
+                pts[:] = 0  # all-invalid scan: zero rings, all-inf table
+            x, y, z = (jnp.asarray(pts[:, i]) for i in range(3))
+            valid = geometry.roi_mask(jnp.asarray(pts), cfg)
+            _, alpha_v = geometry.vertical_angles(x, y, z)
+            a, c = geometry.discover_rings(alpha_v, valid, cfg.interval,
+                                           rings=rings)
+            want_angles.append(a)
+            want_counts.append(c)
+            alphas.append(jnp.where(valid, alpha_v, jnp.nan))
+
+        got_a, got_c = discover_rings_pallas(jnp.stack(alphas), cfg.interval,
+                                             rings, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got_a), np.stack([np.asarray(a) for a in want_angles]))
+        np.testing.assert_array_equal(
+            np.asarray(got_c), np.stack([np.asarray(c) for c in want_counts]))

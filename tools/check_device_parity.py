@@ -43,7 +43,16 @@ def main():
     for name, scene, seed, pcfg in pairs:
         raw = pad_scan(make_scan(SCENES[scene](), n_rings=64,
                                  n_azimuth=2048, seed=seed), dims.max_points)
-        out = process_scan_jit(jax.numpy.asarray(raw), pcfg, dims)
+        # Gate the BATCH graph (round 4): the production batch path runs
+        # the fused ingest kernels that the single-scan graph skips
+        # (pipeline.process_scan docstring); same compile count as b8
+        # configs dedupe to two static graphs.
+        from urban_road_filter_tpu.pipeline import process_batch_jit
+
+        out8 = process_batch_jit(
+            jax.numpy.asarray(np.broadcast_to(raw, (8,) + raw.shape)),
+            pcfg, dims)
+        out = jax.tree.map(lambda a: a[0], out8)
         np.asarray(out.ok)
         try:
             agree, n_sys = device_parity_gate(raw, out.labels, out.markers,

@@ -44,6 +44,17 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
+def _starbeam_rect(x, y, f):
+    """Rectangle filter membership (cpp:73-107), pointwise on sector f."""
+    yx_t, d_t, o_t = beam_tables()
+    yx_b = jnp.asarray(yx_t)[f]
+    d_b = jnp.asarray(d_t)[f]
+    o_b = jnp.asarray(o_t)[f]
+    c = d_b * jnp.where(yx_b, y, x)
+    coord = jnp.where(yx_b, x, y)
+    return ((c - o_b) < coord) & (coord < (c + o_b))
+
+
 def _segmented_cumsums(first, vals):
     """Inclusive per-segment prefix sums: resets where `first` is True.
     vals: tuple of (n,) arrays.  Returns the scanned tuple."""
@@ -105,43 +116,53 @@ def _star_sort(fk, r_key, z, iota, n: int, packed: bool = False):
     return fk_s, r_s, z_s, pid_s
 
 
-def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig):
+def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig,
+              fk: jax.Array | None = None, r_key: jax.Array | None = None):
     """The star search's raw result: (hp, overflow) where hp is a (360,)
     int32 array with hp[b] = 1 + point index of beam b's first triggering
     point, or 0 when the beam found no edge.  At most one point per beam is
     ever marked (cpp:142-148 breaks after the first hit), so callers can
     scatter/label the <=360 hits directly instead of paying an n-element
-    pass."""
+    pass.
+
+    ``fk``/``r_key`` accept the pre-sort keys computed by the fused ingest
+    kernel (ops/ingest_scan.py, round 4): fk = sector or STAR_REP for
+    non-ROI points, r_key = 2-D radius or +inf.  The starbeam rectangle
+    refinement still happens here (table lookups stay XLA); dropped points
+    keep fk == STAR_REP under the refinement since both where() branches
+    agree there."""
     n = pts.shape[0]
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
 
-    # --- polar binning (cpp:162-174): f32 r, fi; truncating sector index ---
-    r = jnp.sqrt(x * x + y * y)
-    fi = jnp.arctan2(y, x)
-    fi = jnp.where(fi < 0, fi + F32(2.0 * math.pi), fi)
-    # f == rep IS reachable (fi a few ulps below 2pi rounds to 360.0 after
-    # the f32 multiply); the reference's beamp[360] stays null and it would
-    # crash on such a point (PARITY.md item 5a) — routing f==360 to beam 0
-    # (the same sector, 0 == 360 degrees) is our fix of the evident intent.
-    f = (fi * F32(STAR_KFI)).astype(I32) % I32(STAR_REP)
-
-    keep = valid
-    if cfg.starbeam_filter:
-        # Rectangle filter (cpp:73-107), applied pointwise before grouping.
-        yx_t, d_t, o_t = beam_tables()
-        yx_b = jnp.asarray(yx_t)[f]
-        d_b = jnp.asarray(d_t)[f]
-        o_b = jnp.asarray(o_t)[f]
-        c = d_b * jnp.where(yx_b, y, x)
-        coord = jnp.where(yx_b, x, y)
-        keep = keep & ((c - o_b) < coord) & (coord < (c + o_b))
+    if fk is None:
+        # --- polar binning (cpp:162-174): f32 r, fi; truncating index ---
+        r = jnp.sqrt(x * x + y * y)
+        fi = jnp.arctan2(y, x)
+        fi = jnp.where(fi < 0, fi + F32(2.0 * math.pi), fi)
+        # f == rep IS reachable (fi a few ulps below 2pi rounds to 360.0
+        # after the f32 multiply); the reference's beamp[360] stays null and
+        # it would crash on such a point (PARITY.md item 5a) — routing
+        # f==360 to beam 0 (the same sector, 0 == 360 degrees) is our fix
+        # of the evident intent.
+        f = (fi * F32(STAR_KFI)).astype(I32) % I32(STAR_REP)
+        keep = valid
+        if cfg.starbeam_filter:
+            keep = keep & _starbeam_rect(x, y, f)
+        fk = jnp.where(keep, f, I32(STAR_REP))  # dropped -> sink segment
+        r_key = jnp.where(keep, r, jnp.inf)  # == r on every kept point
+    elif cfg.starbeam_filter:
+        # Refine the ingest-kernel keys: non-ROI points have fk == STAR_REP
+        # already (both branches below preserve it); table index 0 for them
+        # is arbitrary and masked.
+        f = jnp.where(fk < I32(STAR_REP), fk, I32(0))
+        rect = _starbeam_rect(x, y, f)
+        fk = jnp.where(rect, fk, I32(STAR_REP))
+        r_key = jnp.where(rect, r_key, jnp.inf)
 
     # --- ONE stable 2-key sort: beam-major, radius-minor, ties by input
     # order (the C++ std::sort is unstable on ties; we pin input order, same
     # as the oracle, oracle/reference.py:173) ---
     iota = jnp.arange(n, dtype=I32)
-    fk = jnp.where(keep, f, I32(STAR_REP))  # dropped points -> sink segment
-    r_key = jnp.where(keep, r, jnp.inf)  # == r on every kept point
     fk_s, r_s, z_s, pid_s = _star_sort(fk, r_key, z, iota, n)
 
     # --- edge detection as segmented prefix statistics (cpp:111-151) ---

@@ -58,14 +58,54 @@ class ScanResult(NamedTuple):
     probably_road: jax.Array  # (N,) bool: cfg.probably_road_ring membership
 
 
-def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
-    """Label one padded (N, 4) scan.  Trace-time config/dims."""
-    n = pts.shape[0]
-    valid = geometry.roi_mask(pts, cfg)
-    piece = jnp.sum(valid).astype(I32)
-    ok = piece >= MIN_POINTS
+def _ingest_batch_tpu(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims):
+    """Batched TPU ingest on the native (B, N) streams — runs OUTSIDE the
+    per-scan vmap so the fused kernels (ops/ingest_scan.py, round 4) see
+    tile-native (8, cols) blocks.  A vmapped per-scan version needed
+    (N,) -> (N/128, 128) retile copies on every stream, which cost as much
+    as the fusions the kernels removed (PERF.md round 4).
 
+    Returns (valid, fk, r_key, piece, ring_id, num_rings), all batched.
+    Only the transcendentals (atan2 here, asin/acos in vertical_angles)
+    stay XLA ops — Mosaic has no lowering for them
+    (tools/probe_ingest_math.py)."""
+    from urban_road_filter_tpu.ops.ingest_scan import (
+        assign_rings_pallas, discover_rings_pallas, ingest_prep_pallas)
+
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    fi_raw = jnp.arctan2(y, x)
+    valid, fk, rk, piece = ingest_prep_pallas(x, y, z, fi_raw, cfg)
+
+    _, alpha_v = geometry.vertical_angles(x, y, z)
+    # NaN at non-ROI points stands in for the validity stream in the
+    # discovery and ring-assign kernels (NaN matches no ring, exactly like
+    # a dropped point); the mask fuses into the asin/acos pass above.
+    alpha_m = jnp.where(valid, alpha_v, jnp.nan)
+    angles, num_rings = discover_rings_pallas(alpha_m, cfg.interval,
+                                              dims.rings)
+    ring_id = assign_rings_pallas(alpha_m, angles, cfg.interval)
+    return valid, fk, rk, piece, ring_id, num_rings
+
+
+def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims,
+                 _ingest=None) -> ScanResult:
+    """Label one padded (N, 4) scan.  Trace-time config/dims.  ``_ingest``
+    carries the batch path's precomputed ingest results (see
+    _ingest_batch_tpu).  Single-scan TPU calls use the XLA ingest below:
+    at B=1 the batch-aware kernels run at 1/8 sublane utilization and
+    MEASURED ~9 ms slower per scan (latency p50 28.3 -> 37.3 ms), while
+    the XLA ingest is within noise of the round-3 graph."""
+    n = pts.shape[0]
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    rings = dims.rings
+
+    if _ingest is not None:
+        valid, fk0, rk0, piece, ring_id, num_rings = _ingest
+    else:
+        valid = geometry.roi_mask(pts, cfg)
+        piece = jnp.sum(valid).astype(I32)
+        fk0 = rk0 = None
+    ok = piece >= MIN_POINTS
 
     star_overflow = jnp.asarray(0, I32)
     hit_pids = None
@@ -75,13 +115,14 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanR
         # tiny 360-element scatter instead of an n-sized label pass.
         from urban_road_filter_tpu.ops.star import star_hits
 
-        hit_pids, star_overflow = star_hits(pts, valid, cfg)
+        hit_pids, star_overflow = star_hits(pts, valid, cfg, fk=fk0,
+                                            r_key=rk0)
 
-    _, alpha_v = geometry.vertical_angles(x, y, z)
-    rings = dims.rings
-    angles, num_rings = geometry.discover_rings(alpha_v, valid, cfg.interval,
-                                                rings=rings)
-    ring_id = geometry.assign_rings(alpha_v, valid, angles, cfg.interval)
+    if _ingest is None:
+        _, alpha_v = geometry.vertical_angles(x, y, z)
+        angles, num_rings = geometry.discover_rings(alpha_v, valid,
+                                                    cfg.interval, rings=rings)
+        ring_id = geometry.assign_rings(alpha_v, valid, angles, cfg.interval)
 
     cap = dims.ring_capacity
     layout, pos = geometry.tensorize(x, y, z, ring_id, cap, rings=rings)
@@ -171,6 +212,13 @@ def _process_scan_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
 def _process_batch_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
     TRACE_COUNTS["batch"] += 1
     cfg = static_cfg.merge(dyn)
+    if jax.default_backend() in ("tpu", "axon"):
+        # Batch-aware ingest kernels run once over the (B, N) streams;
+        # everything after ingest is per-scan-independent and vmaps.
+        ingest = _ingest_batch_tpu(pts, cfg, dims)
+        return jax.vmap(
+            lambda p, *ing: process_scan(p, cfg, dims, _ingest=ing))(
+                pts, *ingest)
     return jax.vmap(lambda p: process_scan(p, cfg, dims))(pts)
 
 
