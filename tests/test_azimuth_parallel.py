@@ -16,6 +16,8 @@ from urban_road_filter_tpu.parallel.azimuth_parallel import make_azimuth_pipelin
 from urban_road_filter_tpu.parallel.mesh import make_mesh
 from urban_road_filter_tpu.pipeline import pad_scan, process_scan_jit
 
+pytestmark = pytest.mark.slow  # 8-device shard_map pipelines (incl. OS1-128 dims)
+
 DIMS = PipelineDims(max_points=8192, rings=64, ring_capacity=1024,
                     beam_capacity=256)
 

@@ -30,8 +30,11 @@ except Exception as e:  # toolchain/reference missing -> skip below
 
 F32 = np.float32
 
-pytestmark = pytest.mark.skipif(
-    BINARY is None, reason="g++ or /root/reference unavailable")
+pytestmark = [
+    pytest.mark.slow,  # compiles + replays the reference C++
+    pytest.mark.skipif(BINARY is None,
+                       reason="g++ or /root/reference unavailable"),
+]
 
 
 def _roi_points(scene_scans, name, cfg):

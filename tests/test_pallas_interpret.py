@@ -13,6 +13,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # interpret-mode emulation dominates suite time
+
 from urban_road_filter_tpu.config import FilterConfig
 from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
 from urban_road_filter_tpu.ops import geometry

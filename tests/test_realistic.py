@@ -28,6 +28,8 @@ from urban_road_filter_tpu.config import FilterConfig, PipelineDims
 from urban_road_filter_tpu.io.synthetic import (SENSORS, SceneSpec,
                                                 make_drive, make_sensor_scan)
 from urban_road_filter_tpu.oracle import reference as oracle_mod
+
+pytestmark = pytest.mark.slow  # emulated-drive corpus + golden-C++ cross-checks
 from urban_road_filter_tpu.oracle import run_oracle
 from urban_road_filter_tpu.pipeline import pad_scan, process_scan_jit
 
