@@ -23,6 +23,13 @@
 //   for road, curb, roi, road_probably: i32 count, i32 ids[count]
 //   i32 n_markers; per marker: i32 id, action(0=ADD,2=DELETE),
 //       red(0/1), n_points; f64 (x, y, z) * n_points
+// GOLDEN_TIME=1 in the environment additionally times each
+// det.filtered() call (chrono, compute only — stdin parse and output
+// serialization excluded) and prints a per-scan latency summary to
+// stderr: tools/bench_reference_cpp.py uses this to measure the
+// reference's single-core throughput on this host.
+#include <algorithm>
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <map>
@@ -129,7 +136,29 @@ int main() {
     g_markers.markers.clear();
     g_have_markers = false;
 
-    det.filtered(cloud);
+    static const bool timing = std::getenv("GOLDEN_TIME") != nullptr;
+    static std::vector<double> lat_ms;
+    if (timing) {
+      const auto t0 = std::chrono::steady_clock::now();
+      det.filtered(cloud);
+      const auto t1 = std::chrono::steady_clock::now();
+      lat_ms.push_back(
+          std::chrono::duration<double, std::milli>(t1 - t0).count());
+      if (s == n_scans - 1) {
+        std::vector<double> srt = lat_ms;
+        std::sort(srt.begin(), srt.end());
+        double sum = 0;
+        for (double v : srt) sum += v;
+        std::fprintf(stderr,
+                     "GOLDEN_TIME scans=%zu mean_ms=%.2f p50_ms=%.2f "
+                     "p90_ms=%.2f scans_per_sec=%.2f\n",
+                     srt.size(), sum / srt.size(), srt[srt.size() / 2],
+                     srt[(size_t)(srt.size() * 0.9)],
+                     1000.0 * srt.size() / sum);
+      }
+    } else {
+      det.filtered(cloud);
+    }
 
     const bool published = g_clouds.count("roi") != 0;
     wr_i32(published ? 1 : 0);

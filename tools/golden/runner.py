@@ -97,10 +97,8 @@ class FullScanResult:
         self.markers = markers
 
 
-def full(binary, scans, cfg) -> list:
-    """Drive Detector::filtered over `scans` (list of (n, >=3) arrays) in
-    ONE process (ghostcount persists across scans, like the live node).
-    Returns a FullScanResult per scan."""
+def _full_payload(scans, cfg) -> bytes:
+    """The golden_full wire payload (config block + per-scan streams)."""
     payload = struct.pack("<i", len(scans))
     payload += struct.pack(
         "<16f", cfg.interval, cfg.min_x, cfg.max_x, cfg.min_y, cfg.max_y,
@@ -118,8 +116,14 @@ def full(binary, scans, cfg) -> list:
         payload += struct.pack("<i", len(pts))
         for c in range(3):
             payload += _f32(pts[:, c])
+    return payload
 
-    raw = _run(binary, None, payload)
+
+def full(binary, scans, cfg) -> list:
+    """Drive Detector::filtered over `scans` (list of (n, >=3) arrays) in
+    ONE process (ghostcount persists across scans, like the live node).
+    Returns a FullScanResult per scan."""
+    raw = _run(binary, None, _full_payload(scans, cfg))
     off = [0]
 
     def take(n):

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,9 +55,11 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 _LANES = 128
-_COLS = 8192  # lanes (points) per block; sweep via tools/bench_ingest.py
-# (the per-grid-step fixed cost rules streaming kernels — PERF.md round-4
-# lesson; re-sweep after any restructure).
+# Lanes (points) per block; sweep via tools/bench_ingest.py (the
+# per-grid-step fixed cost rules streaming kernels — PERF.md round-4
+# lesson; re-sweep after any restructure).  URF_INGEST_COLS overrides at
+# trace time for sweeps.
+_COLS = int(os.environ.get("URF_INGEST_COLS", 8192))
 _BB = 8  # batch rows per block (the f32 sublane tile)
 
 

@@ -23,6 +23,7 @@ dynamic_reconfigure.  Batch processing is vmap over the leading axis.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -212,7 +213,12 @@ def _process_scan_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
 def _process_batch_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
     TRACE_COUNTS["batch"] += 1
     cfg = static_cfg.merge(dyn)
-    if jax.default_backend() in ("tpu", "axon"):
+    # URF_BATCH_INGEST (trace-time; for tools/bench_ingest.py A/Bs only):
+    # "kernels" forces the fused ingest kernels, "xla" forces the XLA
+    # ingest, default picks kernels on TPU backends.
+    mode = os.environ.get("URF_BATCH_INGEST", "auto")
+    if mode == "kernels" or (
+            mode != "xla" and jax.default_backend() in ("tpu", "axon")):
         # Batch-aware ingest kernels run once over the (B, N) streams;
         # everything after ingest is per-scan-independent and vmaps.
         ingest = _ingest_batch_tpu(pts, cfg, dims)
