@@ -745,6 +745,38 @@ class TestIngestKernelsInterpret:
         want_last = geometry.roi_mask(jnp.asarray(ptsb[-1]), cfg)
         assert int(got_piece[-1]) == int(np.asarray(want_last).sum())
 
+    def test_ingest_prep_no_star_keys(self):
+        # Non-star configs skip the fk/rk outputs entirely (ADVICE r4);
+        # valid/piece must stay bit-equal to the star variant's.
+        from urban_road_filter_tpu.ops.ingest_scan import ingest_prep_pallas
+
+        pts, cfg = self._scan()
+        ptsb = np.stack([pts] * 4)
+        ptsb[-1, 7:100] = 0
+        x, y, z = (jnp.asarray(ptsb[..., i]) for i in range(3))
+        fi_raw = jnp.arctan2(y, x)
+        v1, fk, rk, p1 = ingest_prep_pallas(x, y, z, fi_raw, cfg,
+                                            interpret=True)
+        v2, fk2, rk2, p2 = ingest_prep_pallas(x, y, z, None, cfg,
+                                              interpret=True,
+                                              want_star_keys=False)
+        assert fk2 is None and rk2 is None and fk is not None
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_grid_dims_lane_aligned(self):
+        # The cols fallback must stay a multiple of 128 lanes, and a
+        # non-multiple point count must fail on the HOST (a lane-unaligned
+        # Mosaic block poisons the axon server — ADVICE r4 / CLAUDE.md).
+        from urban_road_filter_tpu.ops.ingest_scan import _grid_dims
+
+        for n, cols in ((131072, 8192), (131072, 100000), (96 * 128, 8192),
+                        (131072, 131072), (640, 100), (127 * 128, 8192)):
+            bb, c, n_b, n_n = _grid_dims(8, n, cols)
+            assert c % 128 == 0 and n % c == 0 and n_n == n // c, (n, cols, c)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            _grid_dims(8, 1000, 512)
+
     @pytest.mark.parametrize("rings", [24, 64])
     def test_assign_rings_matches_xla(self, rings):
         # Batch of 3 scans with DIFFERENT ring tables (different seeds):

@@ -156,29 +156,27 @@ class TestDriveParity:
             assert gaps.min() > cfg.interval  # no duplicate/split rings
 
 
+@pytest.fixture(scope="module")
+def full_binary():
+    import sys
+
+    sys.path.insert(0, "tools/golden")
+    import runner
+
+    try:
+        binary = runner.build_full()
+    except Exception as e:  # pragma: no cover - toolchain missing
+        pytest.skip(f"golden toolchain unavailable: {e}")
+    return runner, binary
+
+
 class TestGoldenRealistic:
     """Compiled reference C++ (Detector::filtered) vs oracle on emulated
     scans — extends test_golden_cpp's synthetic-scene coverage to the
     sensor-emulated corpus."""
 
-    @pytest.fixture(scope="class")
-    def full_binary(self):
-        import sys
-
-        sys.path.insert(0, "tools/golden")
-        import runner
-
-        try:
-            binary = runner.build_full()
-        except Exception as e:  # pragma: no cover - toolchain missing
-            pytest.skip(f"golden toolchain unavailable: {e}")
-        return runner, binary
-
-    @pytest.mark.parametrize("name", ["vlp16", "os1_64"])
-    def test_label_maps_match_oracle(self, name, full_binary, drive_scans):
-        runner, binary = full_binary
-        cfg = FilterConfig()
-        pts = drive_scans[name][1]
+    @staticmethod
+    def _golden_vs_oracle(runner, binary, pts, cfg, name):
         res = runner.full(binary, [pts], cfg)[0]
         o = run_oracle(pts, cfg)
         assert res.published == o.ok
@@ -191,6 +189,75 @@ class TestGoldenRealistic:
         want[roi_ids[o.curb_ids]] = 2
         agree = float(np.mean(got == want))
         assert agree >= 0.999, f"{name}: label map agreement {agree:.5f}"
+
+    # os1_128 included since round 5 (VERDICT r4 item 4a): its 0.20-0.63 deg
+    # gradient gaps are the near-threshold ring-discovery regime of PARITY
+    # item 13 — exactly where oracle-vs-C++ divergence is most plausible.
+    @pytest.mark.parametrize("name", ["vlp16", "os1_64", "os1_128"])
+    def test_label_maps_match_oracle(self, name, full_binary, drive_scans):
+        runner, binary = full_binary
+        self._golden_vs_oracle(runner, binary, drive_scans[name][1],
+                               FilterConfig(), name)
+
+
+@pytest.fixture(scope="module")
+def mixed_rig_scan():
+    """One merged OS1-64 + VLP-16 cloud (VERDICT r4 item 4b).  The
+    reference's actual rig is multi-sensor (2x OS1-64 + 2x Velodyne,
+    reference config/demo1.rviz:91-181) feeding the node ONE pre-merged
+    topic; a gradient beam table interleaved with a uniform fan — plus the
+    z-offset smearing of the translated sensor's vertical angles — is a
+    harder ring-discovery case than either sensor alone (PARITY item 13)."""
+    from urban_road_filter_tpu.io.multi_lidar import Extrinsics, merge_scans
+
+    spec = SceneSpec(curb_right_y=3.4, curb_left_y=-3.3, curb_height=0.17,
+                     vehicles=((14.0, 2.4, 2.2, 0.85, 1.5),),
+                     vegetation=((9.0, -5.2, -1.1, 1.2),))
+    os1 = make_sensor_scan(spec, "os1_64", seed=51, firings=512)
+    vlp = make_sensor_scan(spec, "vlp16", seed=52, firings=512)
+    return merge_scans(
+        [os1, vlp],
+        [Extrinsics(x=0.4, y=0.3, z=0.0, yaw_deg=1.5),
+         Extrinsics(x=-0.4, y=-0.3, z=-0.35, yaw_deg=-2.0)])
+
+
+class TestMixedRig:
+    """Merged mixed-sensor cloud through oracle, JAX pipeline and compiled
+    reference C++ (VERDICT r4 item 4b / missing #4)."""
+
+    # 64-ring cap matches the reference's channels=64
+    # (lidar_segmentation.cpp:4): both oracle and pipeline drop points
+    # beyond the first 64 greedily-registered rings identically.
+    MDIMS = PipelineDims(max_points=65536, rings=64, ring_capacity=2048,
+                         beam_capacity=512)
+
+    def test_mixed_tables_interleave(self, mixed_rig_scan):
+        # The merged cloud must actually exercise the mixed-table regime:
+        # more rings than either sensor contributes alone, with sub-interval
+        # structure from the z-offset smearing (greedy order resolves it).
+        cfg = FilterConfig()
+        keep = oracle_mod.roi_mask(mixed_rig_scan, cfg)
+        p = mixed_rig_scan[keep]
+        _, av = oracle_mod.vertical_angles(p[:, 0], p[:, 1], p[:, 2])
+        reps = oracle_mod.discover_rings(av, cfg.interval)
+        assert len(reps) > 24  # both sensors' fans are represented
+
+    def test_oracle_parity_on_merged_cloud(self, mixed_rig_scan):
+        cfg = FilterConfig()
+        o = run_oracle(mixed_rig_scan, cfg)
+        assert o.ok
+        jx = process_scan_jit(pad_scan(mixed_rig_scan, self.MDIMS.max_points),
+                              cfg, self.MDIMS)
+        assert int(jx.overflow) == 0
+        assert int(jx.num_rings) == o.num_rings
+        jl = np.asarray(jx.labels)[:len(mixed_rig_scan)]
+        got = jl[np.asarray(o.roi_mask)]
+        assert_label_parity(got, o.labels, 0.999, "mixed OS1-64+VLP-16 rig")
+
+    def test_golden_cpp_on_merged_cloud(self, mixed_rig_scan, full_binary):
+        runner, binary = full_binary
+        TestGoldenRealistic._golden_vs_oracle(
+            runner, binary, mixed_rig_scan, FilterConfig(), "mixed rig")
 
 
 class TestDriveBag:
@@ -211,16 +278,19 @@ class TestDriveBag:
         assert m.errors == 0 and m.dropped == 0
 
 
-@pytest.mark.skipif(not os.environ.get("URF_SLOW"),
-                    reason="long corpus: set URF_SLOW=1 (nightly tier)")
 class TestLongDrive:
     """Multi-scan drive soak: oracle parity across a longer, evolving
-    street (parked cars enter/leave, gaps pass, curbs meander)."""
+    street (parked cars enter/leave, gaps pass, curbs meander).
+
+    Runs 12 scans in the normal slow tier (VERDICT r4 weak #2: the former
+    URF_SLOW-only gate ran in NO CI tier); URF_SLOW=1 (the nightly CI job)
+    extends the drive to the full 40 scans."""
 
     def test_long_drive_parity(self):
         cfg = FilterConfig()
         bad = []
-        for i, pts in enumerate(make_drive(40, sensor="os1_64", seed=21,
+        n_scans = 40 if os.environ.get("URF_SLOW") else 12
+        for i, pts in enumerate(make_drive(n_scans, sensor="os1_64", seed=21,
                                            firings=FIRINGS["os1_64"])):
             o = run_oracle(pts, cfg)
             jx = process_scan_jit(pad_scan(pts, DIMS.max_points), cfg, DIMS)

@@ -67,13 +67,35 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
+def _check_cols_env(cols_used: int) -> None:
+    """URF_INGEST_COLS is captured at import into _COLS (and into the
+    wrappers' defaults); flipping it mid-process after a graph is cached
+    would silently reuse the old variant (ADVICE r4).  Fail loudly at
+    trace time instead."""
+    env = os.environ.get("URF_INGEST_COLS")
+    if env is not None and int(env) != _COLS:
+        raise RuntimeError(
+            f"URF_INGEST_COLS changed mid-process ({env} vs the "
+            f"import-time {_COLS}); it is a trace-time knob — set it "
+            f"before the process starts (one variant per process)")
+    del cols_used
+
+
 def _grid_dims(b: int, n: int, cols: int):
     bb = min(_BB, b)
     if b % bb:
         bb = math.gcd(b, bb)
-    cols = min(cols, n)
+    # Blocks must stay LANE-aligned: a lane-unaligned Mosaic block fails
+    # to compile, and a failed Mosaic compile poisons the axon server for
+    # the rest of the process (CLAUDE.md).  Fail on the host instead.
+    if n % _LANES:
+        raise ValueError(
+            f"ingest kernels need the point count to be a multiple of "
+            f"{_LANES} lanes, got n={n}")
+    cols = max(min(cols, n), _LANES)
     if n % cols:
-        cols = math.gcd(n, cols)
+        # Largest-gcd divisor of n that is a multiple of 128 and <= cols.
+        cols = math.gcd(n // _LANES, cols // _LANES) * _LANES
     return bb, cols, b // bb, n // cols
 
 
@@ -82,8 +104,13 @@ def _grid_dims(b: int, n: int, cols: int):
 # ---------------------------------------------------------------------------
 
 
-def _ingest_prep_kernel(params_ref, x_ref, y_ref, z_ref, fi_ref,
-                        valid_ref, fk_ref, rk_ref, cnt_ref):
+def _ingest_prep_kernel(*refs, star: bool):
+    if star:
+        (params_ref, x_ref, y_ref, z_ref, fi_ref,
+         valid_ref, fk_ref, rk_ref, cnt_ref) = refs
+    else:
+        params_ref, x_ref, y_ref, z_ref, valid_ref, cnt_ref = refs
+
     @pl.when(pl.program_id(1) == 0)
     def _():
         cnt_ref[...] = jnp.zeros_like(cnt_ref)
@@ -98,7 +125,6 @@ def _ingest_prep_kernel(params_ref, x_ref, y_ref, z_ref, fi_ref,
     xx = x_ref[...]
     yy = y_ref[...]
     zz = z_ref[...]
-    fi = fi_ref[...]
 
     # ROI crop + zero-point drop (lidar_segmentation.cpp:106-117);
     # identical compare chain to ops/geometry.roi_mask.
@@ -107,20 +133,22 @@ def _ingest_prep_kernel(params_ref, x_ref, y_ref, z_ref, fi_ref,
              & (zz >= min_z) & (zz <= max_z)
              & (xx + yy + zz != F32(0)))
 
-    # Star polar binning (star_shaped_search.cpp:162-174): 2-D radius +
-    # truncating sector index from the XLA-computed atan2.  sqrt/mul/
-    # trunc-convert are Mosaic<->XLA bit-equal (probe_ingest_math.py).
-    r = jnp.sqrt(xx * xx + yy * yy)
-    fiw = jnp.where(fi < 0, fi + F32(2.0 * math.pi), fi)
-    f = (fiw * F32(STAR_KFI)).astype(I32)
-    # f == STAR_REP is reachable (fi a few ulps under 2pi rounds up after
-    # the f32 multiply); equal to ops/star.py's `% STAR_REP` since
-    # 0 <= f <= STAR_REP.
-    f = jnp.where(f >= I32(STAR_REP), f - I32(STAR_REP), f)
+    if star:
+        fi = fi_ref[...]
+        # Star polar binning (star_shaped_search.cpp:162-174): 2-D radius +
+        # truncating sector index from the XLA-computed atan2.  sqrt/mul/
+        # trunc-convert are Mosaic<->XLA bit-equal (probe_ingest_math.py).
+        r = jnp.sqrt(xx * xx + yy * yy)
+        fiw = jnp.where(fi < 0, fi + F32(2.0 * math.pi), fi)
+        f = (fiw * F32(STAR_KFI)).astype(I32)
+        # f == STAR_REP is reachable (fi a few ulps under 2pi rounds up
+        # after the f32 multiply); equal to ops/star.py's `% STAR_REP`
+        # since 0 <= f <= STAR_REP.
+        f = jnp.where(f >= I32(STAR_REP), f - I32(STAR_REP), f)
+        fk_ref[...] = jnp.where(valid, f, I32(STAR_REP))
+        rk_ref[...] = jnp.where(valid, r, jnp.inf)
 
     valid_ref[...] = valid
-    fk_ref[...] = jnp.where(valid, f, I32(STAR_REP))
-    rk_ref[...] = jnp.where(valid, r, jnp.inf)
     # Per-scan in-ROI count partial: a cross-lane reduce to (bb, 1),
     # broadcast-accumulated over the count block's 128 lanes (the caller
     # reads lane 0).  Scans ride the SUBLANE axis, so per-scan counts
@@ -129,7 +157,7 @@ def _ingest_prep_kernel(params_ref, x_ref, y_ref, z_ref, fi_ref,
 
 
 def ingest_prep_pallas(x, y, z, fi_raw, cfg, *, interpret: bool = False,
-                       cols: int = _COLS):
+                       cols: int = _COLS, want_star_keys: bool = True):
     """One streaming pass over the (B, N) streams (x, y, z, atan2(y, x)):
 
       valid: (B, N) bool — the ROI mask (== ops.geometry.roi_mask);
@@ -144,8 +172,15 @@ def ingest_prep_pallas(x, y, z, fi_raw, cfg, *, interpret: bool = False,
     table lookups per point (the measured lane-gather dead-end class) and
     only runs in starbeam configs; ops/star.py refines fk/r_key from this
     kernel's outputs there.
+
+    ``want_star_keys=False`` (non-star configs; a STATIC trace-time flag
+    like cfg.star_shaped_method itself) skips the fk/rk math and their
+    two (B, N) HBM stores entirely — the opaque pallas_call would
+    otherwise prevent XLA from dead-code-eliminating them (ADVICE r4);
+    returns fk = rk = None.
     """
     b, n = x.shape
+    _check_cols_env(cols)
     bb, cols, n_b, n_n = _grid_dims(b, n, cols)
 
     params = jnp.stack([jnp.asarray(cfg.min_x, F32),
@@ -157,21 +192,33 @@ def ingest_prep_pallas(x, y, z, fi_raw, cfg, *, interpret: bool = False,
 
     spec = pl.BlockSpec((bb, cols), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
-    valid, fk, rk, cnt = pl.pallas_call(
-        _ingest_prep_kernel,
+    cnt_spec = pl.BlockSpec((bb, _LANES), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 6), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    if want_star_keys:
+        valid, fk, rk, cnt = pl.pallas_call(
+            functools.partial(_ingest_prep_kernel, star=True),
+            grid=(n_b, n_n),
+            in_specs=[smem] + [spec] * 4,
+            out_specs=(spec, spec, spec, cnt_spec),
+            out_shape=(jax.ShapeDtypeStruct((b, n), jnp.bool_),
+                       jax.ShapeDtypeStruct((b, n), I32),
+                       jax.ShapeDtypeStruct((b, n), F32),
+                       jax.ShapeDtypeStruct((b, _LANES), I32)),
+            interpret=interpret,
+        )(params, x, y, z, fi_raw)
+        return valid, fk, rk, cnt[:, 0]
+    valid, cnt = pl.pallas_call(
+        functools.partial(_ingest_prep_kernel, star=False),
         grid=(n_b, n_n),
-        in_specs=[pl.BlockSpec((1, 6), lambda i, j: (0, 0),
-                               memory_space=pltpu.SMEM)] + [spec] * 4,
-        out_specs=(spec, spec, spec,
-                   pl.BlockSpec((bb, _LANES), lambda i, j: (i, 0),
-                                memory_space=pltpu.VMEM)),
+        in_specs=[smem] + [spec] * 3,
+        out_specs=(spec, cnt_spec),
         out_shape=(jax.ShapeDtypeStruct((b, n), jnp.bool_),
-                   jax.ShapeDtypeStruct((b, n), I32),
-                   jax.ShapeDtypeStruct((b, n), F32),
                    jax.ShapeDtypeStruct((b, _LANES), I32)),
         interpret=interpret,
-    )(params, x, y, z, fi_raw)
-    return valid, fk, rk, cnt[:, 0]
+    )(params, x, y, z)
+    return valid, None, None, cnt[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +351,7 @@ def assign_rings_pallas(alpha_masked, angles_sorted, interval, *,
     b, n = alpha_masked.shape
     rings = int(angles_sorted.shape[-1])
     assert rings <= _LANES, "ring cap exceeds one lane row"
+    _check_cols_env(cols)
     bb, cols, n_b, n_n = _grid_dims(b, n, cols)
 
     # (B, 128) table, +inf-padded: one VMEM lane row per scan (|alpha -

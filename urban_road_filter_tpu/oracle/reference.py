@@ -107,18 +107,25 @@ def vertical_angles(x: np.ndarray, y: np.ndarray, z: np.ndarray):
 # Stage L2: greedy ring discovery (lidar_segmentation.cpp:168-197)
 # --------------------------------------------------------------------------
 
-def discover_rings(alpha: np.ndarray, interval: float) -> np.ndarray:
-    """Greedy input-order ring registration, capped at CHANNELS rings.
+def discover_rings(alpha: np.ndarray, interval: float,
+                   channels: int = CHANNELS) -> np.ndarray:
+    """Greedy input-order ring registration, capped at `channels` rings.
 
     Equivalent reformulation of the per-point greedy loop: ring k+1's
     representative is the first (lowest-index) point not within `interval`
     of rings 0..k.  Returns representatives in registration order.
+
+    `channels` mirrors the reference's compile-time constant
+    (lidar_segmentation.cpp:4, `channels = 64`): a >64-beam deployment of
+    the C++ would rebuild with it raised, so >64-ring configs (e.g. the
+    OS1-128 dims pipeline) are oracle-checked with channels raised the
+    same way.
     """
     interval = F32(interval)
     n = alpha.shape[0]
     matched = np.zeros(n, dtype=bool)
     reps = []
-    while len(reps) < CHANNELS:
+    while len(reps) < channels:
         unmatched = np.flatnonzero(~matched)
         if unmatched.size == 0:
             break
@@ -483,7 +490,8 @@ def _marker_search(ring_x, ring_y, ring_z, ring_alpha, ring_label, num_rings):
 # --------------------------------------------------------------------------
 
 def run_oracle(points: np.ndarray, cfg: Optional[FilterConfig] = None,
-               edge_nudge: float = 0.0) -> OracleResult:
+               edge_nudge: float = 0.0,
+               channels: int = CHANNELS) -> OracleResult:
     """Run the full reference pipeline on one scan.
 
     points: (N, >=3) float array of x, y, z (column 3+, e.g. intensity,
@@ -508,14 +516,14 @@ def run_oracle(points: np.ndarray, cfg: Optional[FilterConfig] = None,
         return OracleResult(
             ok=False, roi_mask=keep, labels=np.zeros(piece, np.int16),
             ring_of_point=np.full(piece, -1, np.int32), ring_angles=empty(0),
-            num_rings=0, max_distance=empty(CHANNELS), ring_point_ids=[],
+            num_rings=0, max_distance=empty(channels), ring_point_ids=[],
             ring_alpha=[], marker_points=empty(0, 4),
             marker_bins=np.zeros(0, np.int32), road_ids=np.zeros(0, np.int64),
             curb_ids=np.zeros(0, np.int64), probably_road_ids=np.zeros(0, np.int64))
 
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     _, alpha_v = vertical_angles(x, y, z)
-    reps = discover_rings(alpha_v, cfg.interval)
+    reps = discover_rings(alpha_v, cfg.interval, channels=channels)
 
     labels2d = np.zeros(piece, np.int16)
     if cfg.star_shaped_method:
@@ -537,7 +545,7 @@ def run_oracle(points: np.ndarray, cfg: Optional[FilterConfig] = None,
         alpha_a = (alpha_a * F32(1.0 + edge_nudge)).astype(F32)
 
     ring_x, ring_y, ring_z, ring_a, ring_l, ring_ids = [], [], [], [], [], []
-    max_distance = np.zeros(CHANNELS, F32)
+    max_distance = np.zeros(channels, F32)
     for k in range(index):
         ids = np.flatnonzero(ring_of_point == k)  # input order
         ring_ids.append(ids)

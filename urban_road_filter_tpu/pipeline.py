@@ -74,8 +74,13 @@ def _ingest_batch_tpu(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims):
         assign_rings_pallas, discover_rings_pallas, ingest_prep_pallas)
 
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-    fi_raw = jnp.arctan2(y, x)
-    valid, fk, rk, piece = ingest_prep_pallas(x, y, z, fi_raw, cfg)
+    # The atan2 and the star keys exist only for the star search; non-star
+    # configs skip the transcendental pass AND the kernel's two (B, N) key
+    # stores (static flag — cfg.star_shaped_method is part of the jit key).
+    star = bool(cfg.star_shaped_method)
+    fi_raw = jnp.arctan2(y, x) if star else None
+    valid, fk, rk, piece = ingest_prep_pallas(x, y, z, fi_raw, cfg,
+                                              want_star_keys=star)
 
     _, alpha_v = geometry.vertical_angles(x, y, z)
     # NaN at non-ROI points stands in for the validity stream in the
@@ -200,7 +205,16 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims,
 
 
 # Trace counters (exposed for tests asserting the no-retrace hot-swap).
-TRACE_COUNTS = {"scan": 0, "batch": 0}
+# "batch_ingest" records the ingest variant the LAST batch trace chose
+# ("kernels" / "xla") so bench tools can report which graph actually ran.
+TRACE_COUNTS = {"scan": 0, "batch": 0, "batch_ingest": None}
+
+# URF_BATCH_INGEST is a TRACE-TIME knob (for tools/bench_ingest.py A/Bs:
+# "kernels" forces the fused ingest kernels, "xla" the XLA ingest, default
+# picks kernels on TPU backends).  Captured ONCE at import: flipping it
+# after a graph is cached would silently reuse the old variant (ADVICE
+# r4); _process_batch_dyn fails loudly on a mid-process flip instead.
+_BATCH_INGEST_MODE = os.environ.get("URF_BATCH_INGEST", "auto")
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -213,18 +227,22 @@ def _process_scan_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
 def _process_batch_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
     TRACE_COUNTS["batch"] += 1
     cfg = static_cfg.merge(dyn)
-    # URF_BATCH_INGEST (trace-time; for tools/bench_ingest.py A/Bs only):
-    # "kernels" forces the fused ingest kernels, "xla" forces the XLA
-    # ingest, default picks kernels on TPU backends.
     mode = os.environ.get("URF_BATCH_INGEST", "auto")
+    if mode != _BATCH_INGEST_MODE:
+        raise RuntimeError(
+            f"URF_BATCH_INGEST changed mid-process ({mode!r} vs the "
+            f"import-time {_BATCH_INGEST_MODE!r}); it is a trace-time "
+            f"knob — one variant per process (ADVICE r4)")
     if mode == "kernels" or (
             mode != "xla" and jax.default_backend() in ("tpu", "axon")):
         # Batch-aware ingest kernels run once over the (B, N) streams;
         # everything after ingest is per-scan-independent and vmaps.
+        TRACE_COUNTS["batch_ingest"] = "kernels"
         ingest = _ingest_batch_tpu(pts, cfg, dims)
         return jax.vmap(
             lambda p, *ing: process_scan(p, cfg, dims, _ingest=ing))(
                 pts, *ingest)
+    TRACE_COUNTS["batch_ingest"] = "xla"
     return jax.vmap(lambda p: process_scan(p, cfg, dims))(pts)
 
 
