@@ -259,6 +259,42 @@ class TestMixedRig:
         TestGoldenRealistic._golden_vs_oracle(
             runner, binary, mixed_rig_scan, FilterConfig(), "mixed rig")
 
+    def test_parity_gate_at_128_rings(self):
+        """Full device_parity_gate (labels classified + markers enveloped)
+        on a merged dual-OS1-64 cloud at 128-ring dims with a 128-channel
+        oracle — the bench multi_lidar_262k pair's regime at CI size.
+
+        Pins the PARITY item 13 interval-envelope classification: in the
+        >64-ring mixed-table regime adjacent sorted rings sit closer than
+        the matching interval, so a 1-2 ulp vertical-angle (arcsin tail)
+        difference between compiled graphs re-keys a point to the
+        neighboring ring, lands it in a different z-zero window, and flips
+        its label plus the marker row it wins — observed as exactly one
+        such flip on this cloud on the CPU backend.  nudged_config's
+        interval nudge must classify that cascade as boundary, not
+        systematic."""
+        from urban_road_filter_tpu.io.multi_lidar import (Extrinsics,
+                                                          merge_scans)
+        from urban_road_filter_tpu.utils.parity import device_parity_gate
+
+        exts = [Extrinsics(x=0.4, y=0.3, z=0.0, yaw_deg=1.5),
+                Extrinsics(x=-0.4, y=-0.3, z=-0.05, yaw_deg=-2.0)]
+        sp = SceneSpec(curb_right_y=3.3, curb_left_y=-3.4, curb_height=0.15,
+                       vehicles=((12.0, 2.3, 2.2, 0.85, 1.5),),
+                       vegetation=((8.0, -5.0, -1.2, 1.2),))
+        m = merge_scans(
+            [make_sensor_scan(sp, "os1_64", seed=70, firings=256),
+             make_sensor_scan(sp, "os1_64", seed=71, firings=256)], exts)
+        cfg = FilterConfig()
+        dims = PipelineDims(max_points=32768, rings=128, ring_capacity=512,
+                            beam_capacity=256)
+        out = process_scan_jit(pad_scan(m, dims.max_points), cfg, dims)
+        agree, n_sys = device_parity_gate(
+            m, np.asarray(out.labels), np.asarray(out.markers), cfg,
+            "mixed-rig-128", channels=dims.rings)
+        assert agree >= 0.999, agree
+        assert n_sys == 0, n_sys
+
 
 class TestDriveBag:
     """Recorded-style drive bag through the L0 replay harness: the

@@ -1,0 +1,505 @@
+"""Probe: measured floors for the three kernel op-mixes the roofline
+(tools/roofline.py, VERDICT r4 item 1) cannot price from peaks alone.
+
+Same differencing harness as tools/probe_sortkernel.py: ITERS identical
+rounds of the stage's exact op mix run inside one pallas_call on
+VMEM-resident blocks (fori_loop with a live carry so nothing hoists),
+so (t_iters - t_1) / (iters - 1) isolates the steady-state per-round
+cost from kernel fixed overhead (HBM in/out + dispatch).  Per-scan
+floors follow by multiplying with the stage's block/window count at the
+b128 production dims.
+
+  rank_cube    — one _rank_block (ops/rank.py): (128,64,128) one-hot
+                 build, rowcnt reduce, the two prefix matmuls, the
+                 where+reduce select.  x16 blocks/scan.
+  star_rolls   — one star-scan round set (ops/star_scan.py): 7 absorb
+                 rounds + 7x5 masked roll+add scan rounds on (32,128)
+                 f32 blocks.  x32 blocks/scan.
+  window_cmp   — one flood/marker window body (ops/flood_scan.py):
+                 (128,1024) broadcast compares + select + max-reduce.
+                 Reported per window; the implied active-window count =
+                 stage_measured / per_window cross-checks the roofline's
+                 ~5.2 active windows/row assumption.
+
+If a probe floor lands well under the stage's in-pipeline cost, the gap
+is a real optimization target; if it matches, the stage is CLOSED at its
+Mosaic-reality floor.  Usage:
+  python tools/probe_stagefloor.py [--batch 128] [--iters-probe 32]
+Run alone (never overlap TPU jobs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LANES = 128
+
+
+def make_rank_probe(iters: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, g_pad = 64, 128
+
+    def kernel(ids_ref, out_ref):
+        gids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, g_pad), 2)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+        r_j = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        lt_r = (r_j < r_i).astype(jnp.float32)
+        l_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        l_j = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        lt_l = (l_j < l_i).astype(jnp.bfloat16)
+
+        def body(_, carry):
+            acc, running = carry
+            ids_t = ids_ref[...].T  # (LANES, rows)
+            oh_t = ids_t[:, :, None] == gids  # (LANES, rows, g_pad)
+            rowcnt = jnp.sum(oh_t, axis=0, dtype=jnp.int32)
+            row_base = jnp.dot(lt_r, rowcnt.astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
+            base = running.astype(jnp.float32) + row_base
+            o2 = oh_t.astype(jnp.bfloat16).reshape(LANES, rows * g_pad)
+            p_t = jnp.dot(lt_l, o2,
+                          preferred_element_type=jnp.float32).astype(
+                jnp.bfloat16).reshape(LANES, rows, g_pad)
+            tot = p_t.astype(jnp.float32) + base[None, :, :]
+            sel = jnp.sum(jnp.where(oh_t, tot, jnp.float32(0)), axis=2)
+            # live carry: running grows, acc consumes sel -> no hoisting
+            running = running + jnp.sum(rowcnt, axis=0, keepdims=True)
+            return acc + sel.T, running
+
+        acc0 = jnp.zeros((rows, LANES), jnp.float32)
+        run0 = jnp.zeros((1, g_pad), jnp.int32)
+        acc, running = jax.lax.fori_loop(0, iters, body, (acc0, run0))
+        out_ref[...] = acc + running[0:1, 0:LANES].astype(jnp.float32)
+
+    @jax.jit
+    def run(ids):
+        f = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        return jax.vmap(f)(ids)
+
+    return run
+
+
+def make_star_rolls_probe(iters: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = 32
+
+    def kernel(a_ref, b_ref, c_ref, d_ref, e_ref, f_ref, out_ref):
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+
+        def body(_, carry):
+            vs = list(carry)
+            flag = (vs[5] > 0).astype(jnp.int32)
+            absorbs = []
+            for d in (1, 2, 4, 8, 16, 32, 64):
+                okl = lane2 >= d
+                absorbs.append(okl & (flag == 0))
+                flag = jnp.where(okl, flag | pltpu.roll(flag, d, axis=1),
+                                 flag)
+            for absorb, d in zip(absorbs, (1, 2, 4, 8, 16, 32, 64)):
+                for i in range(5):
+                    vs[i] = jnp.where(absorb,
+                                      vs[i] + pltpu.roll(vs[i], d, axis=1),
+                                      vs[i])
+            # live carry: rotate the flag source so rounds stay distinct
+            vs[5] = pltpu.roll(vs[5], 1, axis=1)
+            return tuple(vs)
+
+        init = (a_ref[...], b_ref[...], c_ref[...], d_ref[...], e_ref[...],
+                f_ref[...])
+        out = jax.lax.fori_loop(0, iters, body, init)
+        out_ref[...] = out[0] + out[1] + out[2] + out[3] + out[4] + out[5]
+
+    @jax.jit
+    def run(arrs):
+        f = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        return jax.vmap(f)(*arrs)
+
+    return run
+
+
+def make_window_probe(iters: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    blk_w = 1024
+
+    def kernel(alpha_ref, curb_ref, out_ref):
+        i_col = jax.lax.broadcasted_iota(
+            jnp.int32, (LANES, 1), 0).astype(jnp.float32)
+        alpha = alpha_ref[...]  # (1, blk_w)
+        curb = curb_ref[...] > 0
+
+        def body(_, w):
+            hi = i_col + w[0:1, 0:1]
+            in_win = (alpha >= i_col) & (alpha <= hi) & curb
+            got = jnp.max(jnp.where(in_win, jnp.float32(1), jnp.float32(0)),
+                          axis=1, keepdims=True)  # (LANES, 1)
+            # live carry: the window width drifts by the result
+            return w + got[0:1, 0:1] * jnp.float32(1e-3) + jnp.float32(1e-6)
+
+        w = jax.lax.fori_loop(0, iters, body, jnp.ones((1, 1), jnp.float32))
+        out_ref[...] = jnp.broadcast_to(w, (8, LANES))
+
+    @jax.jit
+    def run(args):
+        alpha, curb = args
+        f = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        return jax.vmap(f)(alpha, curb)
+
+    return run
+
+
+def make_star_body_probe(iters: int):
+    """One FULL star-scan block body per round (ops/star_scan.py
+    _star_scan_kernel): prev x3 (roll + (32,32) one-hot row shift), the
+    shared absorb/flag rounds, 5 segmented scans, add_carries x5, the
+    trigger elementwise math, and ONE active 128-lane hit window over
+    g_pad=384 (realistic: triggers are beam-sorted, so a block touches
+    ~1 window).  The gap between this floor x32 blocks and the
+    in-pipeline stage cost is per-grid-step overhead + IO."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, g_pad = 32, 384
+
+    def kernel(fk_ref, r_ref, z_ref, pid_ref, out_ref, hp_acc):
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        hp_acc[...] = jnp.zeros_like(hp_acc)
+
+        def prev(v, carry_row):
+            rolled = pltpu.roll(v, 1, axis=1)
+            col = rolled[:, 0:1]
+            col_j = jnp.broadcast_to(col.reshape(1, rows), (rows, rows))
+            sel = jnp.sum(jnp.where(kj == ki - 1, col_j, jnp.float32(0)),
+                          axis=1, keepdims=True)
+            sel = jnp.where(row1 == 0, carry_row[0:1, 0:1], sel)
+            out = jnp.where(lane2 == 0, sel, rolled)
+            new_carry = jnp.broadcast_to(v[rows - 1:rows, LANES - 1:LANES],
+                                         (1, LANES))
+            return out, new_carry
+
+        def body(_, st):
+            fk, r, zz, pid, carry = st
+            fk_f = fk.astype(jnp.float32)
+            fkp, c_fk = prev(fk_f, carry[5:6, :])
+            rp, c_r = prev(r, carry[6:7, :])
+            zp, c_z = prev(zz, carry[7:8, :])
+
+            first = fkp != fk_f
+            first_i = first.astype(jnp.int32)
+            wk = (fk < 361) & ~first
+            dr = r - rp
+            slp = (zz - zp) / dr
+            vstat = wk & ~jnp.isnan(slp)
+
+            absorbs = []
+            flag = first_i
+            for d in (1, 2, 4, 8, 16, 32, 64):
+                okl = lane2 >= d
+                absorbs.append(okl & (flag == 0))
+                flag = jnp.where(okl, flag | pltpu.roll(flag, d, axis=1),
+                                 flag)
+            row_open = flag == 0
+
+            def seg_scan(values):
+                vs = list(values)
+                for absorb, d in zip(absorbs, (1, 2, 4, 8, 16, 32, 64)):
+                    for i, v in enumerate(vs):
+                        vs[i] = jnp.where(absorb,
+                                          v + pltpu.roll(v, d, axis=1), v)
+                return vs
+
+            has_reset = jnp.max(first_i, axis=1, keepdims=True)
+            hr_j = jnp.broadcast_to(has_reset.reshape(1, rows), (rows, rows))
+            lrr = jnp.max(jnp.where((hr_j != 0) & (kj < ki), kj, -1), axis=1,
+                          keepdims=True)
+            carry_sel = (kj < ki) & (kj >= lrr)
+            no_reset_before = (lrr == -1)
+
+            def add_carries(rs, carry_row):
+                rowtot = rs[:, LANES - 1:LANES]
+                rt_j = jnp.broadcast_to(rowtot.reshape(1, rows),
+                                        (rows, rows))
+                carry_in = jnp.sum(jnp.where(carry_sel, rt_j, jnp.float32(0)),
+                                   axis=1, keepdims=True)
+                carry_in = carry_in + jnp.where(
+                    no_reset_before, carry_row[0:1, 0:1], jnp.float32(0))
+                out = rs + jnp.where(row_open, carry_in, jnp.float32(0))
+                new_carry = jnp.broadcast_to(
+                    out[rows - 1:rows, LANES - 1:LANES], (1, LANES))
+                return out, new_carry
+
+            ones = jnp.ones_like(slp)
+            rs_rank, rs_m, rs_slp = seg_scan(
+                (ones, jnp.where(vstat, jnp.float32(1), jnp.float32(0)),
+                 jnp.where(vstat, slp, jnp.float32(0))))
+            rank, c_rank = add_carries(rs_rank, carry[3:4, :])
+            m, c_m = add_carries(rs_m, carry[0:1, :])
+            sum_slp, c_slp = add_carries(rs_slp, carry[1:2, :])
+            avg = jnp.where(m > 0, sum_slp / m, jnp.float32(0))
+
+            (rs_dev,) = seg_scan((jnp.where(vstat, jnp.abs(slp - avg),
+                                            jnp.float32(0)),))
+            sum_dev, c_dev = add_carries(rs_dev, carry[2:3, :])
+            dev = jnp.where(m > 0, sum_dev / m, jnp.float32(0))
+
+            adaptive = (rank - 1 > jnp.float32(5)) & (
+                (slp * slp - avg * avg) * jnp.float32(1.1)
+                * (dr * jnp.float32(0.9)) > dev)
+            trigger = wk & ((slp > jnp.float32(1.0)) | adaptive)
+
+            (rs_trig,) = seg_scan((jnp.where(trigger, jnp.float32(1),
+                                             jnp.float32(0)),))
+            cum_trig, c_trig = add_carries(rs_trig, carry[4:5, :])
+            first_trig = trigger & (cum_trig == 1)
+
+            carry = jnp.concatenate(
+                [c_m, c_slp, c_dev, c_rank, c_trig, c_fk, c_r, c_z], axis=0)
+
+            ftv = jnp.where(first_trig, pid + jnp.float32(1), jnp.float32(0))
+            fkt_mn = jnp.min(jnp.where(first_trig, fk, jnp.int32(1 << 30)))
+            fkt_mx = jnp.max(jnp.where(first_trig, fk, jnp.int32(-1)))
+            for lo in range(0, g_pad, LANES):
+                @pl.when((fkt_mx >= lo) & (fkt_mn < lo + LANES))
+                def _(lo=lo):
+                    gid = lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, LANES), 2)
+                    hp_acc[:, lo:lo + LANES] += jnp.sum(
+                        jnp.where(fk[:, :, None] == gid, ftv[:, :, None],
+                                  jnp.float32(0)), axis=1)
+
+            # live carry: rotate the streams so every round is distinct
+            fk = pltpu.roll(fk, 1, axis=1)
+            r = r + jnp.float32(1e-6)
+            return fk, r, zz, pid, carry
+
+        # (a value .at[].set inside a Pallas kernel lowers to scatter,
+        # which Mosaic lacks — build the fk=-1 row with an iota select)
+        init_carry = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) == 5,
+            jnp.float32(-1), jnp.float32(0))
+        fk, r, zz, pid, carry = jax.lax.fori_loop(
+            0, iters, body,
+            (fk_ref[...], r_ref[...], z_ref[...], pid_ref[...], init_carry))
+        out_ref[...] = (r + zz + carry[0:1, 0:LANES]
+                        + hp_acc[:, 0:LANES] + hp_acc[:, LANES:2 * LANES]
+                        + hp_acc[:, 2 * LANES:3 * LANES])
+
+    @jax.jit
+    def run(args):
+        f = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((rows, g_pad), jnp.float32)],
+        )
+        return jax.vmap(f)(*args)
+
+    return run
+
+
+def make_place_probe(iters: int):
+    """One i8 byte-limb place chunk per round (ops/place.py
+    _place_chunk_i8 at the 64-ring dims): A-tile build (3 fields x 4 byte
+    rows x (64, 2048) shift/and/sub/mul/convert + occupancy), ONE active
+    (128, 2048) pos one-hot + s8 dot_general -> (832, 128) s32, and the
+    i32 byte reconstruct.  x64 chunks/scan; the roofline prices ~1.2
+    active panels/chunk, the probe runs exactly 1 — scale accordingly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g_pad, cw, col_w, nf = 64, 2048, 128, 3
+
+    def kernel(ids_ref, pos_ref, vals_ref, out_ref):
+        out_ref[...] = jnp.zeros_like(out_ref)
+        gid = jax.lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0)
+
+        def body(_, st):
+            ids, pos, acc = st
+            vi = jax.lax.bitcast_convert_type(vals_ref[...], jnp.int32)
+            ring_oh = (gid == ids).astype(jnp.int32)  # (G, C)
+            occ = ring_oh.astype(jnp.int8)
+            rows = []
+            for f in range(nf):
+                for k in range(4):
+                    b = jax.lax.shift_right_logical(
+                        vi[f:f + 1], jnp.int32(8 * k)) & jnp.int32(0xFF)
+                    rows.append(((b - jnp.int32(128))
+                                 * ring_oh).astype(jnp.int8))
+            rows.append(occ)
+            a = jnp.concatenate(rows, axis=0)  # (13G, C) s8
+
+            sid = jax.lax.broadcasted_iota(jnp.int32, (col_w, cw), 0)
+            pos_oh_t = ((sid == pos).astype(jnp.int32)).astype(jnp.int8)
+            r = jax.lax.dot_general(a, pos_oh_t, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            occ_blk = r[4 * nf * g_pad:(4 * nf + 1) * g_pad]
+            parts = []
+            for f in range(nf):
+                def blk(k, f=f):
+                    t = r[(4 * f + k) * g_pad:(4 * f + k + 1) * g_pad]
+                    return t + jnp.int32(128) * occ_blk
+                oi = (blk(0) | jax.lax.shift_left(blk(1), jnp.int32(8))
+                      | jax.lax.shift_left(blk(2), jnp.int32(16))
+                      | jax.lax.shift_left(blk(3), jnp.int32(24)))
+                parts.append(jax.lax.bitcast_convert_type(oi, jnp.float32))
+            acc = acc + jnp.concatenate(parts, axis=0)
+            # live carry: shift the ids/pos so rounds stay distinct
+            ids = pltpu.roll(ids, 1, axis=1)
+            pos = pltpu.roll(pos, 1, axis=1)
+            return ids, pos, acc
+
+        ids, pos, acc = jax.lax.fori_loop(
+            0, iters, body,
+            (ids_ref[...], pos_ref[...],
+             jnp.zeros((nf * g_pad, col_w), jnp.float32)))
+        # Consume EVERY acc row (a sliced-out acc would let the compiler
+        # narrow the dot below the real kernel's shape — observed: a
+        # "floor" under the MXU paper peak, i.e. a broken probe).
+        acc_all = jnp.sum(acc.reshape(nf * g_pad // 8, 8, col_w), axis=0)
+        out_ref[...] = (acc_all
+                        + ids[0:1, 0:LANES].astype(jnp.float32)
+                        + pos[0:1, 0:LANES].astype(jnp.float32))
+
+    @jax.jit
+    def run(args):
+        f = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        return jax.vmap(f)(*args)
+
+    return run
+
+
+def time_probe(name, make, args_for, b, iters_probe, timing_iters,
+               per_scan_mult, note):
+    import numpy as np
+
+    per_iter = {}
+    for iters in (1, iters_probe):
+        try:
+            run = make(iters)
+            out = run(args_for)
+            np.asarray(out[0, :1, :8])
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} iters={iters} FAILED: {str(e)[:200]}", flush=True)
+            return
+        t0 = time.perf_counter()
+        for _ in range(timing_iters):
+            out = run(args_for)
+            np.asarray(out[0, :1, :8])
+        per_iter[iters] = (time.perf_counter() - t0) / timing_iters
+    dt = per_iter[iters_probe] - per_iter[1]
+    per_round_us = dt * 1e6 / (iters_probe - 1) / b
+    print(f"{name}: step1 {per_iter[1]*1e3:7.2f} ms  "
+          f"step{iters_probe} {per_iter[iters_probe]*1e3:7.2f} ms  -> "
+          f"{per_round_us:7.3f} us/round/scan  "
+          f"(x{per_scan_mult} -> {per_round_us * per_scan_mult:7.1f} "
+          f"us/scan floor; {note})", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters-probe", type=int, default=32)
+    ap.add_argument("--timing-iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    b = args.batch
+    np.asarray(jnp.zeros((8,), jnp.int32))  # tunnel warm-up
+
+    print(f"batch {b}, probe iters {args.iters_probe}", flush=True)
+
+    ids = jnp.asarray(rng.integers(0, 65, (b, 64, LANES)), jnp.int32)
+    time_probe("rank_cube ", make_rank_probe, ids, b, args.iters_probe,
+               args.timing_iters, 16,
+               "vs rank in-pipeline ~149 us/scan")
+
+    arrs = tuple(jnp.asarray(rng.random((b, 32, LANES)), jnp.float32)
+                 for _ in range(6))
+    time_probe("star_rolls", make_star_rolls_probe, arrs, b,
+               args.iters_probe, args.timing_iters, 32,
+               "vs star scan in-pipeline ~187 us/scan (rolls only; "
+               "elementwise + hit windows extra)")
+
+    alpha = jnp.asarray(360.0 * rng.random((b, 1, 1024)), jnp.float32)
+    curb = jnp.asarray((rng.random((b, 1, 1024)) < 0.1), jnp.float32)
+    time_probe("window_cmp", make_window_probe, (alpha, curb), b,
+               args.iters_probe, args.timing_iters, 1,
+               "per active window; labeled+markerf ~190 us/scan / this "
+               "= implied active windows/scan (roofline assumes ~670)")
+
+    # Full star block body: beam-sorted fk stream (realistic segments).
+    fk_sorted = np.sort(rng.integers(0, 361, (b, 32 * LANES)),
+                        axis=1).astype(np.int32).reshape(b, 32, LANES)
+    star_args = (jnp.asarray(fk_sorted),
+                 jnp.asarray(rng.random((b, 32, LANES)) * 30 + 1,
+                             jnp.float32),
+                 jnp.asarray(rng.random((b, 32, LANES)) * 2 - 1,
+                             jnp.float32),
+                 jnp.asarray(rng.integers(0, 131072, (b, 32, LANES)),
+                             jnp.float32))
+    time_probe("star_body ", make_star_body_probe, star_args, b,
+               args.iters_probe, args.timing_iters, 32,
+               "FULL block body incl. prev/carries/trigger/1 hit window; "
+               "vs star scan in-pipeline ~187 us/scan — the gap is "
+               "per-grid-step overhead + IO")
+
+    # One i8 place chunk, one active panel (roofline: ~1.2 panels/chunk).
+    place_args = (jnp.asarray(rng.integers(0, 64, (b, 1, 2048)), jnp.int32),
+                  jnp.asarray(rng.integers(0, 128, (b, 1, 2048)), jnp.int32),
+                  jnp.asarray(rng.random((b, 3, 2048)), jnp.float32))
+    time_probe("place_mix ", make_place_probe, place_args, b,
+               args.iters_probe, args.timing_iters, 64,
+               "x64 chunks at 1 panel each; x1.2 for the in-pipeline "
+               "panel overlap -> vs place in-pipeline ~195 us/scan")
+
+
+if __name__ == "__main__":
+    main()

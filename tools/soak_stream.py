@@ -1,13 +1,22 @@
-"""TPU streaming soak of the L0 replay loop (VERDICT r3 item 4).
+"""TPU streaming soak of the L0 replay loop (VERDICT r3 item 4; r4 item 6
+added per-scan latency ATTRIBUTION so the artifact can tell a device
+regression from tunnel weather).
 
 The reference *is* a live node: one scan at a time, queue depth 1, scans
 dropped when processing lags the sensor (lidar_segmentation.cpp:53).
 `ReplayHarness` implements those semantics; this soak proves them ON THE
 DEVICE, end-to-end (full 131k-pt scans, postprocess + marker strips on
-host), and writes STREAM_r04.json:
+host), and writes STREAM_r05.json:
 
-  phase "10hz":     >= 60 s at the sensor rate, drop mode — p50/p99
-                    latency, drops, errors (expected: keeps up, 0 drops).
+  phase "device_floor": depth-2-pipelined single-scan steps, fetch-synced
+                    — dispatch/H2D overlap the device step, so the p50
+                    approximates the DEVICE+sync cost per scan.  Every
+                    other phase's latency minus this is host/tunnel time.
+  phase "10hz":     >= 60 s at the sensor rate, drop mode.  On this
+                    tunneled backend the serial per-scan wall (H2D
+                    ~165 ms + dispatch + fetch) exceeds the 100 ms
+                    period, so drops ARE expected here; on a directly-
+                    attached TPU the phase should keep up with 0 drops.
   phase "overload": ~20 s at 30 Hz — the period is below the per-scan
                     latency, so queue-1 drops MUST engage; proves the
                     drop counter on real hardware.
@@ -21,11 +30,20 @@ host), and writes STREAM_r04.json:
                     must land exactly at stream length with no scan
                     processed twice.
 
+Each harness phase carries `breakdown_ms_p50` (dispatch / stage / fetch /
+post, utils.metrics.ScanStats): dispatch + stage + fetch == latency per
+scan BY CONSTRUCTION, so the accounting is auditable inside the artifact
+and the round-4 run's unexplained ~80 ms flat-out residue (315 ms p50 vs
+~235 accounted, VERDICT r4 weak #3) is localized to a named component
+instead of guessed at.  post (the big label/roi D2H + marker strips) sits
+OUTSIDE latency_ms and is the extra serial cost that makes flat-out
+scans/s lower than 1000/latency_p50.
+
 Scans come from a 16-scan pregenerated pool cycled to length (host scan
 generation is slower than 10 Hz on this 1-core box; the device sees a
 fresh buffer every scan regardless).
 
-Usage: python tools/soak_stream.py [--seconds 60] [--out STREAM_r04.json]
+Usage: python tools/soak_stream.py [--seconds 60] [--out STREAM_r05.json]
 Run alone (never overlap TPU jobs).
 """
 
@@ -61,13 +79,44 @@ def pcts(metrics):
     out = {k: s[k] for k in ("scans", "dropped", "errors", "scans_per_sec")}
     out["latency_ms_p50"] = s["latency_ms"]["p50"]
     out["latency_ms_p99"] = s["latency_ms"]["p99"]
+    # dispatch + stage + fetch == latency by construction (ScanStats);
+    # post is serial host work outside latency_ms.
+    out["breakdown_ms_p50"] = s.get("breakdown_ms_p50", {})
     return out
+
+
+def device_floor(cfg, dims, pool, n: int = 30) -> dict:
+    """p50 of depth-2-pipelined single-scan steps, fetch-synced: with two
+    scans in flight the ~25-30 ms dispatch and the H2D of scan t+1 overlap
+    the device step on scan t, so the steady-state step approximates the
+    DEVICE-side cost per scan (device compute + result sync) — the number
+    the harness phases' latency should be compared against to attribute
+    tunnel/host overhead (VERDICT r4 item 6)."""
+    import jax
+
+    from urban_road_filter_tpu.pipeline import pad_scan, process_scan_jit
+
+    dev = [jax.numpy.asarray(pad_scan(p, dims.max_points))
+           for p in pool[:4]]
+    o = process_scan_jit(dev[0], cfg, dims)  # compile
+    np.asarray(o.ok)
+    inflight = [process_scan_jit(dev[0], cfg, dims)]
+    steps = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        inflight.append(process_scan_jit(dev[(i + 1) % len(dev)], cfg, dims))
+        np.asarray(inflight.pop(0).ok)
+        steps.append((time.perf_counter() - t0) * 1e3)
+    np.asarray(inflight.pop(0).ok)
+    return {"step_ms_p50": round(float(np.percentile(steps, 50)), 2),
+            "step_ms_p99": round(float(np.percentile(steps, 99)), 2),
+            "n": n}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=60.0)
-    ap.add_argument("--out", default="STREAM_r04.json")
+    ap.add_argument("--out", default="STREAM_r05.json")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +134,9 @@ def main():
     warm = ReplayHarness(cfg, dims)
     warm.run(cycle_source(pool, 2))
     result["device"] = str(jax.devices()[0])
+
+    # Phase 0: device-side per-scan floor (attribution reference).
+    result["device_floor"] = device_floor(cfg, dims, pool)
 
     # Phase 1: sensor rate, drop mode.
     n10 = int(10 * args.seconds)

@@ -218,9 +218,11 @@ class ReplayHarness:
                 out = self._process(dev)
             except Exception as e:  # noqa: BLE001 — per-scan isolation
                 err = e
+            t1 = time.perf_counter()  # dispatch done (async call returned)
 
             # Overlap: stage the next scan while the device works.
             pending = self._stage(it)
+            t2 = time.perf_counter()  # next scan staged (H2D overlap)
 
             outputs = None
             if err is None:
@@ -231,8 +233,15 @@ class ReplayHarness:
                     # computation drains (CLAUDE.md) — a tiny scalar fetch
                     # forces it, so latency_ms is honest device time.
                     np.asarray(out.ok)
-                    latency_ms = (time.perf_counter() - t0) * 1e3
-                    outputs = self._postprocess(raw, out, latency_ms)
+                    t3 = time.perf_counter()
+                    latency_ms = (t3 - t0) * 1e3
+                    outputs = self._postprocess(
+                        raw, out, latency_ms,
+                        dispatch_ms=(t1 - t0) * 1e3,
+                        stage_ms=(t2 - t1) * 1e3,
+                        fetch_ms=(t3 - t2) * 1e3)
+                    outputs.stats.post_ms = (
+                        time.perf_counter() - t3) * 1e3
                 except Exception as e:  # noqa: BLE001
                     err = e
 
@@ -288,7 +297,9 @@ class ReplayHarness:
             self._save_checkpoint()
         return self.metrics
 
-    def _postprocess(self, raw, out, latency_ms: float) -> ScanOutputs:
+    def _postprocess(self, raw, out, latency_ms: float,
+                     dispatch_ms: float = 0.0, stage_ms: float = 0.0,
+                     fetch_ms: float = 0.0) -> ScanOutputs:
         # Scans larger than dims.max_points are truncated by pad_scan;
         # postprocess the processed prefix (the truncation is visible in
         # stats as points_in < len(raw)).
@@ -321,7 +332,8 @@ class ReplayHarness:
             road_points=int((labels == LABEL_ROAD).sum()),
             curb_points=int((labels == LABEL_CURB).sum()),
             marker_count=int(sel.sum()), overflow=int(out.overflow),
-            latency_ms=latency_ms)
+            latency_ms=latency_ms, dispatch_ms=dispatch_ms,
+            stage_ms=stage_ms, fetch_ms=fetch_ms)
 
         return ScanOutputs(
             seq=self._seq, ok=bool(out.ok),

@@ -286,6 +286,14 @@ def discover_rings_pallas(alpha_masked, interval, rings: int, *,
     bb = min(_BB, b)
     if b % bb:
         bb = math.gcd(b, bb)
+    # VMEM residency: the alpha input block AND the NaN-scratch copy are
+    # both (bb, n) f32 and must be co-resident, so bb=8 at n=262144 is
+    # 16.78 MB — 8 KB OVER the 16 MB scoped-VMEM limit (Mosaic stack OOM,
+    # observed on the 262k multi-LiDAR bench).  Halve bb until both fit a
+    # conservative 12 MB budget; the 131k production path stays at bb=8
+    # (same cached graph as before).
+    while bb > 1 and 2 * bb * n * 4 > 12 * 2**20:
+        bb //= 2
 
     params = jnp.asarray(interval, F32).reshape(1, 1)
     angles, cnt = pl.pallas_call(

@@ -19,7 +19,18 @@ def nudged_config(pcfg, s: float):
     """The per-point comparison thresholds (x/z-zero cosine gates, star
     slope + adaptive scale, curb height) scaled by (1 + s): a device flip
     explainable by a +-s relative nudge of these is ulp-class, not
-    systematic."""
+    systematic.
+
+    `interval` is nudged too: the ring-match test |alpha - rep| <=
+    interval is exactly where a 1-2 ulp vertical-angle (arcsin tail)
+    difference between two compiled graphs re-keys a point to an adjacent
+    ring (PARITY item 13's near-threshold regime; alpha's ulp at ~90 deg
+    is ~7.6e-6, so interval * 1e-4 ~= 1.8e-5 covers ~2 ulp).  A uniform
+    nudge of alpha itself cannot model this (alpha and its rep share a
+    binade, so their DIFFERENCE is ulp-invariant) — moving the matching
+    boundary is the faithful envelope.  In the >64-ring mixed-table
+    regime a re-keyed point lands in a different z-zero window and its
+    flip cascades; the envelope runs reproduce that cascade."""
     f = 1.0 + s
     return pcfg.replace(
         cylinder_deg_x=pcfg.cylinder_deg_x * f,
@@ -27,11 +38,13 @@ def nudged_config(pcfg, s: float):
         curb_slope_deg=pcfg.curb_slope_deg * f,
         curb_height=pcfg.curb_height * f,
         kdev_param=pcfg.kdev_param * f,
-        kdist_param=pcfg.kdist_param * f)
+        kdist_param=pcfg.kdist_param * f,
+        interval=pcfg.interval * f)
 
 
 def device_parity_gate(raw_scan: np.ndarray, labels, markers, pcfg,
-                       name: str, eps: float = 1e-4):
+                       name: str, eps: float = 1e-4,
+                       channels: int | None = None):
     """Classify a device run against the oracle (VERDICT r3 item 2).
 
     Returns (label_agreement, n_systematic_flips).  Every label flip must
@@ -47,10 +60,21 @@ def device_parity_gate(raw_scan: np.ndarray, labels, markers, pcfg,
     bins — observed at the 89/90-degree edge on device).  Raises
     AssertionError on any marker row outside both classes; systematic
     label flips are returned for the caller to gate on.
+
+    ``channels``: oracle ring cap override for >64-ring deployments (the
+    reference's compile-time `channels = 64`, lidar_segmentation.cpp:4,
+    rebuilt higher for e.g. the 128-ring multi-LiDAR rig); None keeps the
+    reference default.
     """
-    from urban_road_filter_tpu.oracle import run_oracle
+    from urban_road_filter_tpu.oracle import run_oracle as _run
     from urban_road_filter_tpu.oracle.reference import azimuth_2d
     from urban_road_filter_tpu.ops.markers import compact_markers
+
+    if channels is None:
+        run_oracle = _run
+    else:
+        run_oracle = lambda pts, c, **kw: _run(pts, c, channels=channels,
+                                               **kw)
 
     orc = run_oracle(raw_scan, pcfg)
     if not orc.labels.size:
