@@ -311,6 +311,17 @@ class TestStarScanInterpret:
                                       np.asarray(want_hp))
         assert int((np.asarray(want_hp) > 0).sum()) > 5
 
+        # blocks-per-step folds are bit-exact on the same adversarial
+        # stream (the fold only regroups grid steps; carries flow through
+        # registers instead of scratch — round 5).
+        for bps in (2, 4):
+            got_bps = star_scan_pallas(
+                fk_j, r_j, z_j, pid_j, slope_param=slope_param, kdev=kdev,
+                kdist=kdist, dmin=dmin, num_beams=STAR_REP, interpret=True,
+                bps=bps)
+            np.testing.assert_array_equal(np.asarray(got_bps),
+                                          np.asarray(want_hp))
+
 
 class TestRankInterpret:
     @pytest.mark.parametrize("n,groups,seed", [(300, 5, 0), (4096, 65, 1),

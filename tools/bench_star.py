@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, nargs="+", default=[32, 64, 128])
+    ap.add_argument("--bps", type=int, nargs="+", default=[1],
+                    help="blocks-per-step folds to sweep (per rows value)")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--sort-only", action="store_true")
@@ -76,26 +78,31 @@ def main():
         return
 
     for rows in args.rows:
-        def full(p, rows=rows):
+      for bps in args.bps:
+        def full(p, rows=rows, bps=bps):
             fk_s, r_s, z_s, pid_s = sort_stage(p)
             return star_scan_pallas(
                 fk_s, r_s, z_s, pid_s, slope_param=slope_param,
                 kdev=float(cfg.kdev_param), kdist=float(cfg.kdist_param),
-                dmin=int(cfg.dmin_param), num_beams=STAR_REP, rows=rows)
+                dmin=int(cfg.dmin_param), num_beams=STAR_REP, rows=rows,
+                bps=bps)
 
         fn = jax.jit(jax.vmap(full))
         try:
             hp = fn(pts_b)
             np.asarray(hp[0, :8])
         except Exception as e:  # noqa: BLE001 — report and continue sweep
-            print(f"rows={rows:4d}  FAILED: {str(e)[:120]}", flush=True)
+            print(f"rows={rows:4d} bps={bps}  FAILED: {str(e)[:120]}",
+                  flush=True)
             continue
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(args.iters):
+            t0 = time.perf_counter()
             hp = fn(pts_b)
             np.asarray(hp[0, :8])
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f"sort+scan r{rows:<4d}{dt*1e3:8.2f} ms/step  "
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        print(f"sort+scan r{rows:<4d}bps{bps:<3d}{dt*1e3:8.2f} ms/step  "
               f"({dt*1e6/b:7.1f} us/scan)  hits={int((np.asarray(hp[0])>0).sum())}",
               flush=True)
 

@@ -161,8 +161,11 @@ def make_window_probe(iters: int):
             in_win = (alpha >= i_col) & (alpha <= hi) & curb
             got = jnp.max(jnp.where(in_win, jnp.float32(1), jnp.float32(0)),
                           axis=1, keepdims=True)  # (LANES, 1)
-            # live carry: the window width drifts by the result
-            return w + got[0:1, 0:1] * jnp.float32(1e-3) + jnp.float32(1e-6)
+            # live carry consuming EVERY row of got (a [0:1] slice lets
+            # the compiler narrow the whole window compare to one row —
+            # observed as a sub-floor "measurement")
+            g_all = jnp.sum(got, axis=0, keepdims=True)  # (1, 1)
+            return w + g_all * jnp.float32(1e-5) + jnp.float32(1e-6)
 
         w = jax.lax.fori_loop(0, iters, body, jnp.ones((1, 1), jnp.float32))
         out_ref[...] = jnp.broadcast_to(w, (8, LANES))
@@ -414,12 +417,21 @@ def make_place_probe(iters: int):
     return run
 
 
-def time_probe(name, make, args_for, b, iters_probe, timing_iters,
+def time_probe(name, make, args_for, b, iters_pair, timing_iters,
                per_scan_mult, note):
+    """Differencing with MINIMA: the axon per-call dispatch is 25-45 ms
+    and SPIKY (a bad patch can shift even a 15-call median by +20 ms —
+    observed), and all noise sources are strictly additive, so the floor
+    statistic is the per-call MINIMUM over `timing_iters` calls.
+    `iters_pair = (lo, hi)` must be chosen per probe so the per-call
+    delta (per_round x b x (hi - lo)) is >= ~30 ms — a (1, 32) pair on a
+    0.1 ms/round probe measures tunnel weather, not the kernel (observed:
+    negative floors)."""
     import numpy as np
 
+    lo, hi = iters_pair
     per_iter = {}
-    for iters in (1, iters_probe):
+    for iters in (lo, hi):
         try:
             run = make(iters)
             out = run(args_for)
@@ -427,15 +439,17 @@ def time_probe(name, make, args_for, b, iters_probe, timing_iters,
         except Exception as e:  # noqa: BLE001
             print(f"{name} iters={iters} FAILED: {str(e)[:200]}", flush=True)
             return
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(timing_iters):
+            t0 = time.perf_counter()
             out = run(args_for)
             np.asarray(out[0, :1, :8])
-        per_iter[iters] = (time.perf_counter() - t0) / timing_iters
-    dt = per_iter[iters_probe] - per_iter[1]
-    per_round_us = dt * 1e6 / (iters_probe - 1) / b
-    print(f"{name}: step1 {per_iter[1]*1e3:7.2f} ms  "
-          f"step{iters_probe} {per_iter[iters_probe]*1e3:7.2f} ms  -> "
+            ts.append(time.perf_counter() - t0)
+        per_iter[iters] = float(np.min(ts))
+    dt = per_iter[hi] - per_iter[lo]
+    per_round_us = dt * 1e6 / (hi - lo) / b
+    print(f"{name}: step{lo} {per_iter[lo]*1e3:7.2f} ms  "
+          f"step{hi} {per_iter[hi]*1e3:7.2f} ms  -> "
           f"{per_round_us:7.3f} us/round/scan  "
           f"(x{per_scan_mult} -> {per_round_us * per_scan_mult:7.1f} "
           f"us/scan floor; {note})", flush=True)
@@ -444,34 +458,33 @@ def time_probe(name, make, args_for, b, iters_probe, timing_iters,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--iters-probe", type=int, default=32)
-    ap.add_argument("--timing-iters", type=int, default=10)
+    ap.add_argument("--timing-iters", type=int, default=15)
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
     rng = np.random.default_rng(7)
     b = args.batch
+    ti = args.timing_iters
     np.asarray(jnp.zeros((8,), jnp.int32))  # tunnel warm-up
 
-    print(f"batch {b}, probe iters {args.iters_probe}", flush=True)
+    print(f"batch {b}, timing iters {ti} (median)", flush=True)
 
     ids = jnp.asarray(rng.integers(0, 65, (b, 64, LANES)), jnp.int32)
-    time_probe("rank_cube ", make_rank_probe, ids, b, args.iters_probe,
-               args.timing_iters, 16,
+    time_probe("rank_cube ", make_rank_probe, ids, b, (1, 64), ti, 16,
                "vs rank in-pipeline ~149 us/scan")
 
     arrs = tuple(jnp.asarray(rng.random((b, 32, LANES)), jnp.float32)
                  for _ in range(6))
-    time_probe("star_rolls", make_star_rolls_probe, arrs, b,
-               args.iters_probe, args.timing_iters, 32,
+    time_probe("star_rolls", make_star_rolls_probe, arrs, b, (1, 256), ti,
+               32,
                "vs star scan in-pipeline ~187 us/scan (rolls only; "
                "elementwise + hit windows extra)")
 
     alpha = jnp.asarray(360.0 * rng.random((b, 1, 1024)), jnp.float32)
     curb = jnp.asarray((rng.random((b, 1, 1024)) < 0.1), jnp.float32)
-    time_probe("window_cmp", make_window_probe, (alpha, curb), b,
-               args.iters_probe, args.timing_iters, 1,
+    time_probe("window_cmp", make_window_probe, (alpha, curb), b, (1, 512),
+               ti, 1,
                "per active window; labeled+markerf ~190 us/scan / this "
                "= implied active windows/scan (roofline assumes ~670)")
 
@@ -485,18 +498,18 @@ def main():
                              jnp.float32),
                  jnp.asarray(rng.integers(0, 131072, (b, 32, LANES)),
                              jnp.float32))
-    time_probe("star_body ", make_star_body_probe, star_args, b,
-               args.iters_probe, args.timing_iters, 32,
+    time_probe("star_body ", make_star_body_probe, star_args, b, (1, 32),
+               ti, 32,
                "FULL block body incl. prev/carries/trigger/1 hit window; "
-               "vs star scan in-pipeline ~187 us/scan — the gap is "
-               "per-grid-step overhead + IO")
+               "an UPPER bound on the body's VMEM-resident cost (the "
+               "serial fori_loop round does not pipeline like the grid)")
 
     # One i8 place chunk, one active panel (roofline: ~1.2 panels/chunk).
     place_args = (jnp.asarray(rng.integers(0, 64, (b, 1, 2048)), jnp.int32),
                   jnp.asarray(rng.integers(0, 128, (b, 1, 2048)), jnp.int32),
                   jnp.asarray(rng.random((b, 3, 2048)), jnp.float32))
-    time_probe("place_mix ", make_place_probe, place_args, b,
-               args.iters_probe, args.timing_iters, 64,
+    time_probe("place_mix ", make_place_probe, place_args, b, (1, 128), ti,
+               64,
                "x64 chunks at 1 panel each; x1.2 for the in-pipeline "
                "panel overlap -> vs place in-pipeline ~195 us/scan")
 

@@ -123,7 +123,12 @@ def build_table(measured):
          ("vpu", place_abuild, "A-tile build: 12 (G,C) i32 mul+cvt")],
         "MXU one-hot MAC volume is intrinsic at col_w=128 (the lane "
         "minimum): any factorization costs rows x N x col_w; M-stacking "
-        "keeps the MXU M-dim full.  A-build overlaps on the VPU."))
+        "keeps the MXU M-dim full.  probe_stagefloor place_mix: one "
+        "A-build + 1-panel dot = 0.75-1.72 us/chunk across clean runs "
+        "(tunnel spread); x64 chunks x1.2 panels -> 58-132 us/scan floor; "
+        "the residue vs in-pipeline is act-gating + out accumulate + "
+        "per-step cost",
+        achievable_us=132.0))  # upper estimate of the probe spread, r5
 
     # 3. flood labeled + marker pass 1 (fused): per (ring, 1024-slot
     # block): 2 sweep directions x ~2 active 128-start windows x
@@ -138,7 +143,11 @@ def build_table(measured):
           "x8) x (128x1024)")],
         "window-compare volume is the design's intrinsic cost; interval-"
         "query reformulations need per-slot lane gathers (measured dead-"
-        "end class); sub-block windowing regressed (r3)"))
+        "end class); sub-block windowing regressed (r3).  probe_stagefloor "
+        "window_cmp: 0.311 us per active (128, 1024) window (~= the VPU "
+        "paper peak); measured/0.311 = ~610 implied active windows vs the "
+        "~666 modeled -> AT the window floor",
+        achievable_us=0.311 * 666))
 
     # 4. star scan: 5 segmented prefix scans over (rows=32, 128) blocks,
     # 7 roll rounds each + 7 absorb-mask rounds + ~30 elementwise ops per
@@ -151,7 +160,13 @@ def build_table(measured):
         [("vpu", star_scan_ops, "42 roll rounds x3 + ~30 elem ops / pt"),
          ("permute", scan_rounds * N * f32, "42 cross-lane roll rounds")],
         "log-depth segmented scans are permute/latency-bound (serial "
-        "carry chain over 32 row-blocks); rows swept (32 optimum, r4)"))
+        "carry chain over 32 row-blocks); rows swept (32 optimum, r4).  "
+        "probe_stagefloor: the 42 roll rounds measure 8-37 us/scan "
+        "(spread) — a SMALL slice of the stage; a serial VMEM-resident "
+        "reimplementation of the FULL body costs 546 us/scan (2.9x "
+        "WORSE), so the paper roof is unreachable for a serial-carry "
+        "kernel; blocks-per-step fold swept r5: NEUTRAL (93.8-97.2 "
+        "ms/step across bps 1/2/4/8 — per-step cost already amortized)"))
 
     # 5. rank: per 8192-pt block: LT (128,128) @ one-hot (128, 64*128)
     # bf16 MACs + (128, 64, 128) one-hot build/select cubes.
@@ -165,7 +180,11 @@ def build_table(measured):
          ("vpu", rank_cube, "one-hot cubes: N x 128 lanes x ~4")],
         "cube-bound at the minimal g_pad=128 lane width (65 groups); "
         "rows/blocks_per_step swept r4; lane-gather + i8 forms are "
-        "measured dead ends"))
+        "measured dead ends.  probe_stagefloor rank_cube (4 consistent "
+        "runs, 8.1-8.5 us/block): the exact block op-mix on VMEM-resident "
+        "data floors at 130-135 us/scan -> the stage runs at ~90% of "
+        "Mosaic reality; CLOSED",
+        achievable_us=135.3))
 
     # 6. marker candidate pass (pass 2): per (ring, 1024-slot block) x
     # ~1.2 active bin windows x (WIN x blk_w) x ~10 ops (5 payload mins).

@@ -44,7 +44,11 @@ generation is slower than 10 Hz on this 1-core box; the device sees a
 fresh buffer every scan regardless).
 
 Usage: python tools/soak_stream.py [--seconds 60] [--out STREAM_r05.json]
-Run alone (never overlap TPU jobs).
+Run alone (never overlap TPU jobs).  NOTE: JAX_PLATFORMS=cpu does NOT pin
+this tool to CPU on the axon backend (env vars are ignored; only
+jax.config works — CLAUDE.md) — a "CPU smoke test" invoked that way runs
+on the REAL chip and silently contends with any other TPU job.  Pass
+--cpu for a true CPU smoke run.
 """
 
 from __future__ import annotations
@@ -117,9 +121,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--out", default="STREAM_r05.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="true CPU smoke run (JAX_PLATFORMS env is "
+                         "IGNORED by the axon backend; only jax.config "
+                         "pins the platform)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from urban_road_filter_tpu.config import FilterConfig, PipelineDims
     from urban_road_filter_tpu.io.replay import ReplayHarness

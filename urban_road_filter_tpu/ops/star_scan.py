@@ -45,6 +45,12 @@ _LANES = 128
 _ROWS = 32  # 4096 points per grid step (tools/bench_star.py TPU sweep on
 # the stream-input kernel: r32 94.02, r64 94.85 ms/step sort+scan at b128;
 # the (_ROWS, _ROWS) row-carry matrices stay tiny)
+_BPS = 1  # (rows, 128) blocks folded per grid step.  Swept on TPU r5
+# (tools/bench_star.py --bps 1 2 4 8 at rows=32, b128): 94.40 / 93.77 /
+# 97.15 / 96.11 ms/step sort+scan — NEUTRAL within tunnel spread; the
+# per-grid-step fixed cost is already amortized at 4096-pt blocks, so
+# production stays at 1 (the fold remains available and bit-exact,
+# pinned by tests/test_pallas_interpret.py).
 
 
 def _round_up(v: int, m: int) -> int:
@@ -53,7 +59,7 @@ def _round_up(v: int, m: int) -> int:
 
 def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
                       carry, hp_acc, *, g_pad: int, num_beams: int,
-                      rows: int):
+                      rows: int, bps: int):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -65,11 +71,29 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
         carry[5:6, :] = jnp.full((1, _LANES), -1.0, F32)
         hp_acc[...] = jnp.zeros_like(hp_acc)
 
-    fk = fk_ref[...]  # (rows, 128) i32
-    r = r_ref[...]  # f32
-    zz = z_ref[...]  # f32
-    pid = pid_ref[...]  # f32; values < 2^24 so exact
+    # blocks-per-step fold (round 5): process `bps` (rows, 128) sub-blocks
+    # per grid step, carrying the 8 carry rows as VALUES between them —
+    # same per-block op order (bit-exact), 1/bps the grid steps, and the
+    # inter-block carry round-trips through registers instead of scratch.
+    carry_v = carry[...]
+    for j in range(bps):
+        carry_v = _star_block(
+            params_ref, fk_ref[j * rows:(j + 1) * rows, :],
+            r_ref[j * rows:(j + 1) * rows, :],
+            z_ref[j * rows:(j + 1) * rows, :],
+            pid_ref[j * rows:(j + 1) * rows, :],
+            carry_v, hp_acc, g_pad=g_pad, num_beams=num_beams, rows=rows)
+    carry[...] = carry_v
 
+    @pl.when(step == n_steps - 1)
+    def _():
+        hp_ref[...] = hp_acc[...]
+
+
+def _star_block(params_ref, fk, r, zz, pid, carry_v, hp_acc, *, g_pad: int,
+                num_beams: int, rows: int):
+    """One (rows, 128) block of the walk; takes and returns the (8, 128)
+    carry as a VALUE."""
     lane2 = jax.lax.broadcasted_iota(I32, (rows, _LANES), 1)
     ki = jax.lax.broadcasted_iota(I32, (rows, rows), 0)
     kj = jax.lax.broadcasted_iota(I32, (rows, rows), 1)
@@ -92,9 +116,9 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
         return out, new_carry
 
     fk_f = fk.astype(F32)  # beam ids <= g_pad < 2^24: exact in f32
-    fkp, c_fk = prev(fk_f, carry[5:6, :])
-    rp, c_r = prev(r, carry[6:7, :])
-    zp, c_z = prev(zz, carry[7:8, :])
+    fkp, c_fk = prev(fk_f, carry_v[5:6, :])
+    rp, c_r = prev(r, carry_v[6:7, :])
+    zp, c_z = prev(zz, carry_v[7:8, :])
 
     first = fkp != fk_f
     first_i = first.astype(I32)
@@ -151,14 +175,14 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
     (rs_rank, rs_m, rs_slp), row_open = seg_scan_rows(
         (ones, jnp.where(vstat, F32(1), F32(0)),
          jnp.where(vstat, slp, F32(0))))
-    rank, c_rank = add_carries(rs_rank, row_open, carry[3:4, :])
-    m, c_m = add_carries(rs_m, row_open, carry[0:1, :])
-    sum_slp, c_slp = add_carries(rs_slp, row_open, carry[1:2, :])
+    rank, c_rank = add_carries(rs_rank, row_open, carry_v[3:4, :])
+    m, c_m = add_carries(rs_m, row_open, carry_v[0:1, :])
+    sum_slp, c_slp = add_carries(rs_slp, row_open, carry_v[1:2, :])
     avg = jnp.where(m > 0, sum_slp / m, F32(0))
 
     (rs_dev,), _ = seg_scan_rows((jnp.where(vstat, jnp.abs(slp - avg),
                                             F32(0)),))
-    sum_dev, c_dev = add_carries(rs_dev, row_open, carry[2:3, :])
+    sum_dev, c_dev = add_carries(rs_dev, row_open, carry_v[2:3, :])
     dev = jnp.where(m > 0, sum_dev / m, F32(0))
 
     # Threshold params ride SMEM so config hot-swap needs no re-trace:
@@ -173,17 +197,11 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
     trigger = wk & ((slp > slope_param) | adaptive)
 
     (rs_trig,), _ = seg_scan_rows((jnp.where(trigger, F32(1), F32(0)),))
-    cum_trig, c_trig = add_carries(rs_trig, row_open, carry[4:5, :])
+    cum_trig, c_trig = add_carries(rs_trig, row_open, carry_v[4:5, :])
     first_trig = trigger & (cum_trig == 1)
 
-    carry[0:1, :] = c_m
-    carry[1:2, :] = c_slp
-    carry[2:3, :] = c_dev
-    carry[3:4, :] = c_rank
-    carry[4:5, :] = c_trig
-    carry[5:6, :] = c_fk
-    carry[6:7, :] = c_r
-    carry[7:8, :] = c_z
+    new_carry = jnp.concatenate(
+        [c_m, c_slp, c_dev, c_rank, c_trig, c_fk, c_r, c_z], axis=0)
 
     # --- per-beam hit accumulation: hp[b] = pid+1 of the first trigger ---
     # First triggers are sparse (<= one per beam, ~3 per block) and the
@@ -201,20 +219,21 @@ def _star_scan_kernel(params_ref, fk_ref, r_ref, z_ref, pid_ref, hp_ref,
                 jnp.where(fk[:, :, None] == gid, ftv[:, :, None], F32(0)),
                 axis=1)  # (rows, LANES)
 
-    @pl.when(step == n_steps - 1)
-    def _():
-        hp_ref[...] = hp_acc[...]
+    return new_carry
 
 
 def star_scan_pallas(fk_s, r_s, z_s, pid_s, *,
                      slope_param, kdev, kdist, dmin, num_beams: int,
-                     interpret: bool = False, rows: int = _ROWS):
+                     interpret: bool = False, rows: int = _ROWS,
+                     bps: int = _BPS):
     """Returns hp: (num_beams,) i32, hp[b] = 1 + pid of beam b's first
     triggering point (0 = none).  Inputs are the 4 beam-sorted streams
     straight off the sort — slopes, reset flags and walk masks are derived
-    in-kernel (round-4; formerly 7 host-prepped streams)."""
+    in-kernel (round-4; formerly 7 host-prepped streams).  ``bps``:
+    (rows, 128) blocks folded into one grid step (bit-exact; amortizes the
+    per-grid-step fixed cost — sweep via tools/bench_star.py --bps)."""
     n = fk_s.shape[0]
-    blk = rows * _LANES
+    blk = rows * _LANES * bps
     n_pad = _round_up(n, blk)
     g_pad = _round_up(num_beams + 1, _LANES)
 
@@ -233,11 +252,11 @@ def star_scan_pallas(fk_s, r_s, z_s, pid_s, *,
         prep(z_s, 0.0, F32),
         prep(pid_s, 0.0, F32),
     )
-    spec = pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+    spec = pl.BlockSpec((rows * bps, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     hp_rows = pl.pallas_call(
         functools.partial(_star_scan_kernel, g_pad=g_pad,
-                          num_beams=num_beams, rows=rows),
+                          num_beams=num_beams, rows=rows, bps=bps),
         grid=(n_pad // blk,),
         in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)] + [spec] * 4,
