@@ -167,6 +167,19 @@ class TestGroupPlaceInterpret:
             assert np.isfinite(o).all()
             np.testing.assert_array_equal(o, w)
 
+        # counts-derived occupancy (round 5: drops the occ row from the
+        # dot) is bit-equal on the same adversarial case.
+        counts_arr = np.asarray(
+            [min(counts.get(r, 0), cap) for r in range(g)], I32)
+        got_c = group_place_pallas(jnp.asarray(ids), jnp.asarray(pos),
+                                   [jnp.asarray(v) for v in vals], g, cap,
+                                   interpret=True, byte_limbs=True,
+                                   counts=jnp.asarray(counts_arr))
+        for w, o in zip(want, got_c):
+            o = np.asarray(o)
+            assert np.isfinite(o).all()
+            np.testing.assert_array_equal(o, w)
+
 
 class TestGatherInterpret:
     @pytest.mark.parametrize("pack", [1, 4])
@@ -184,6 +197,29 @@ class TestGatherInterpret:
                               np.clip(pos, 0, cap - 1)], 0)
         got = gather_by_group_pos(jnp.asarray(table), jnp.asarray(ids),
                                   jnp.asarray(pos), interpret=True, pack=pack)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    @pytest.mark.parametrize("g_mult", [8, 128])
+    @pytest.mark.parametrize("g_extra", [0, 2])
+    def test_i8_matches_fancy_index(self, g_mult, g_extra):
+        # s8-MXU gather (round 5): word-128 table with the per-point +128
+        # correction must match for in-table, zero-column (g_pad >
+        # num_groups), dropped-id and over-capacity points, at both the
+        # full-lane and minimal-sublane group pads.
+        from urban_road_filter_tpu.ops.gather import gather_by_group_pos
+
+        rng = np.random.default_rng(11)
+        g, cap, n = 64 - g_extra, 256, 3000
+        table = rng.integers(0, 3, (g, cap)).astype(F32)
+        ids = rng.integers(0, g + 2, n).astype(I32)
+        pos = rng.integers(0, cap, n).astype(I32)
+        pos[::37] = cap
+        want = np.where((ids < g) & (pos < cap),
+                        table[np.clip(ids, 0, g - 1),
+                              np.clip(pos, 0, cap - 1)], 0)
+        got = gather_by_group_pos(jnp.asarray(table), jnp.asarray(ids),
+                                  jnp.asarray(pos), interpret=True, pack=4,
+                                  i8=True, g_mult=g_mult)
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
@@ -847,3 +883,13 @@ class TestIngestKernelsInterpret:
             np.asarray(got_a), np.stack([np.asarray(a) for a in want_angles]))
         np.testing.assert_array_equal(
             np.asarray(got_c), np.stack([np.asarray(c) for c in want_counts]))
+
+        # The WIDE (one-scan-per-block) kernel — the 262k multi-LiDAR
+        # VMEM route, where bb=8 two-buffer residency cannot fit and
+        # bb=4 blocks are illegal to lower — must be bit-equal on the
+        # same scans (its row-major 8-row layout preserves input order).
+        got_aw, got_cw = discover_rings_pallas(
+            jnp.stack(alphas), cfg.interval, rings, interpret=True,
+            wide=True)
+        np.testing.assert_array_equal(np.asarray(got_aw), np.asarray(got_a))
+        np.testing.assert_array_equal(np.asarray(got_cw), np.asarray(got_c))

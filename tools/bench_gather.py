@@ -24,6 +24,10 @@ def main():
                     default=[4096, 8192, 16384])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--i8", action="store_true",
+                    help="s8-MXU contraction (round 5)")
+    ap.add_argument("--g-mult", type=int, default=128,
+                    help="group-axis pad granule (128=full lane, 8=min)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +56,8 @@ def main():
     want = None
     for chunk in args.chunks:
         fn = jax.jit(jax.vmap(functools.partial(
-            gather_by_group_pos, pack=4, chunk=chunk)))
+            gather_by_group_pos, pack=4, chunk=chunk, i8=args.i8,
+            g_mult=args.g_mult)))
         try:
             out = fn(tab_b, ids_b, pos_b)
             got = np.asarray(out[0])

@@ -180,7 +180,8 @@ def tensorize(x, y, z, ring_id, ring_capacity: int, label=None,
         from urban_road_filter_tpu.ops.place import group_place_pallas
 
         outs = group_place_pallas(ring_id, pos, fields, rings, p,
-                                  limb_counts=tuple(limbs), byte_limbs=True)
+                                  limb_counts=tuple(limbs), byte_limbs=True,
+                                  counts=counts)
         outs = [o.astype(I32) if i >= 3 else o for i, o in enumerate(outs)]
     else:
         # Unique dump slots -> fast unique-indices scatter path.

@@ -273,8 +273,52 @@ def _discover_kernel(params_ref, alpha_ref, angles_ref, cnt_ref, work, *,
     cnt_ref[...] = jnp.broadcast_to(cnt, (bb, _LANES))
 
 
+def _discover_kernel_wide(params_ref, alpha_ref, angles_ref, cnt_ref, work,
+                          *, rings: int):
+    """One-SCAN-per-block variant of _discover_kernel for point counts
+    whose (8, n) two-scan-buffer footprint exceeds scoped VMEM (262k-pt
+    multi-LiDAR rigs): the scan's n points are spread row-major over 8
+    sublane rows of n/8 lanes, so the greedy's "first unmatched point in
+    input order" becomes the minimum masked ROW-MAJOR index over the
+    whole block and the match/NaN-overwrite runs block-wide.  Semantics
+    identical to _discover_kernel per scan (pinned in
+    tests/test_pallas_interpret.py)."""
+    tol = params_ref[0, 0]
+    work[...] = alpha_ref[...]
+    rows, m = work.shape
+    idx = (jax.lax.broadcasted_iota(I32, (rows, m), 0) * I32(m)
+           + jax.lax.broadcasted_iota(I32, (rows, m), 1))
+    lane_r = jax.lax.broadcasted_iota(I32, (rows, _LANES), 1)
+    big = I32(rows * m)
+
+    def body(k, st):
+        angles_acc, cnt = st
+        aw = work[...]
+        unm = ~jnp.isnan(aw)
+        # Global first unmatched point: (rows, 1) per-row minima, then a
+        # cross-sublane min — kept as a (1, 1) block (Mosaic forbids
+        # scalar VMEM stores; (1,1) vectors broadcast fine).
+        per_row = jnp.min(jnp.where(unm, idx, big), axis=1, keepdims=True)
+        first = jnp.min(per_row, axis=0, keepdims=True)  # (1, 1)
+        has = first < big  # (1, 1)
+        a = jnp.sum(jnp.where(idx == first, aw, F32(0)),
+                    keepdims=True)  # (1, 1); where is a SELECT (NaN-safe)
+        m_tol = jnp.abs(aw - a) <= tol  # NaN lanes stay false
+        work[...] = jnp.where(has & m_tol, jnp.nan, aw)
+        a_or_inf = jnp.where(has, a, jnp.inf)
+        angles_acc = angles_acc + jnp.where(
+            lane_r == k, jnp.broadcast_to(a_or_inf, (rows, _LANES)), F32(0))
+        return angles_acc, cnt + has.astype(I32)
+
+    angles_acc, cnt = jax.lax.fori_loop(
+        0, rings, body,
+        (jnp.zeros((rows, _LANES), F32), jnp.zeros((1, 1), I32)))
+    angles_ref[...] = angles_acc
+    cnt_ref[...] = jnp.broadcast_to(cnt, (rows, _LANES))
+
+
 def discover_rings_pallas(alpha_masked, interval, rings: int, *,
-                          interpret: bool = False):
+                          interpret: bool = False, wide=None):
     """Greedy ring registration on the NaN-masked vertical angle, batched:
     returns (ascending ring angles (B, rings), ring count (B,)) — the
     batch form of ops.geometry.discover_rings on (alpha, valid) with
@@ -289,13 +333,40 @@ def discover_rings_pallas(alpha_masked, interval, rings: int, *,
     # VMEM residency: the alpha input block AND the NaN-scratch copy are
     # both (bb, n) f32 and must be co-resident, so bb=8 at n=262144 is
     # 16.78 MB — 8 KB OVER the 16 MB scoped-VMEM limit (Mosaic stack OOM,
-    # observed on the 262k multi-LiDAR bench).  Halve bb until both fit a
-    # conservative 12 MB budget; the 131k production path stays at bb=8
-    # (same cached graph as before).
-    while bb > 1 and 2 * bb * n * 4 > 12 * 2**20:
-        bb //= 2
-
+    # observed on the 262k multi-LiDAR bench).  Halving bb below 8 does
+    # NOT help: Mosaic pads the sublane dim to the 8-row f32 tile, so a
+    # (4, 262144) block still allocates 16.05 MB (device probe) — and a
+    # bb=4 block with b > 4 fails to lower outright (sublane block dims
+    # must be divisible by 8 or equal to the array dim).  Such rigs
+    # switch to the one-scan-per-block WIDE kernel instead.  The 131k
+    # production path stays at bb=8 (same cached graph as before).
+    if wide is None:
+        wide = 2 * max(bb, 8) * n * 4 > 12 * 2**20
     params = jnp.asarray(interval, F32).reshape(1, 1)
+    if wide:
+        rows = 8
+        assert n % (rows * _LANES) == 0, (
+            f"wide ring discovery needs n % {rows * _LANES} == 0, got {n}")
+        m = n // rows
+        angles, cnt = pl.pallas_call(
+            functools.partial(_discover_kernel_wide, rings=rings),
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((rows, m), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((b * rows, _LANES), F32),
+                       jax.ShapeDtypeStruct((b * rows, _LANES), I32)),
+            scratch_shapes=[pltpu.VMEM((rows, m), F32)],
+            interpret=interpret,
+        )(params, alpha_masked.reshape(b * rows, m))
+        # Every row of a scan's 8-row output block is identical.
+        return (jnp.sort(angles[::rows, :rings], axis=-1),
+                cnt[::rows, 0])
     angles, cnt = pl.pallas_call(
         functools.partial(_discover_kernel, rings=rings),
         grid=(b // bb,),

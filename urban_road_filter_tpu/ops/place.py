@@ -42,7 +42,7 @@ def _round_up(v: int, m: int) -> int:
 def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
                   n_groups_pad: int, col_w: int, cols_per_super: int,
                   n_fields: int, limb_counts: tuple, chunks_per_step: int,
-                  byte_limbs: bool = False):
+                  byte_limbs: bool = False, drop_occ: bool = False):
     # `active_ref` lives in SMEM (not scalar-prefetch: jax's vmap batching
     # rule for PrefetchScalarGridSpec falls back to INTERPRET mode, which
     # cost the batched pipeline ~14 ms/step as an XLA while-loop emulation —
@@ -65,12 +65,13 @@ def _place_kernel(active_ref, ids_ref, pos_ref, vals_ref, out_ref, *,
 
     col0 = super_ * cols_per_super
     chunk_fn = _place_chunk_i8 if byte_limbs else _place_chunk
+    kw = {"drop_occ": drop_occ} if byte_limbs else {}
     for c in range(chunks_per_step):
         chunk_fn(active_ref, ids_ref, pos_ref, vals_ref, out_ref,
                  step * chunks_per_step + c, c, col0,
                  n_groups_pad=n_groups_pad, col_w=col_w,
                  cols_per_super=cols_per_super,
-                 limb_counts=limb_counts)
+                 limb_counts=limb_counts, **kw)
 
 
 def _place_chunk(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
@@ -158,16 +159,32 @@ def _place_chunk(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
 
 def _place_chunk_i8(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
                     c, col0, *, n_groups_pad: int, col_w: int,
-                    cols_per_super: int, limb_counts: tuple):
+                    cols_per_super: int, limb_counts: tuple,
+                    drop_occ: bool = False):
     """Byte-limb (s8 MXU) variant of _place_chunk: each f32 value is split
     into its 4 raw i32 bytes; the A tile stores (byte - 128) * ring_onehot
     in s8 (i32 arithmetic, then one i32->i8 convert — Mosaic's elementwise
     i8 mul and i1->i8 select retile are both illegal, tools/
-    probe_i8_place.py) plus one shared occupancy row-block that undoes the
-    -128 offset after the s8 x s8 -> s32 dot.  Exact for EVERY f32 bit
-    pattern (placement is selection; the i32 reconstruct is bitwise).
-    ~1.4x less A-tile traffic than the 3x-bf16-limb tile and a 2x MXU
-    rate; `limb_counts` is ignored (bytes are uniform)."""
+    probe_i8_place.py).  The -128 offset is undone using the slot
+    OCCUPANCY.  Two modes:
+
+    * drop_occ=False: a shared occupancy row-block rides the dot (it must
+      be PER-CHUNK occupancy — each active chunk's panel body adds its
+      correction — so it cannot come from global per-group counts), the
+      +128*occ correction and the byte->f32 bitcast happen per chunk, and
+      out_ref accumulates f32.
+    * drop_occ=True (round 5, callers with dense ranked placement): the
+      occupancy row-block is dropped from the A tile and the dot (1 of
+      4*nf+1 row-blocks of MXU volume), out_ref accumulates the RAW
+      offset i32 assembly `value_bits - 0x80808080*occ (mod 2^32)` —
+      non-landing chunks contribute exactly 0 — and the wrapper applies
+      the global `+0x80808080 * (slot < counts[g])` correction ONCE,
+      XLA-side, then bitcasts.
+
+    Exact for EVERY f32 bit pattern (placement is selection; the i32
+    reconstruct is bitwise).  ~1.4x less A-tile traffic than the
+    3x-bf16-limb tile and a 2x MXU rate; `limb_counts` is ignored (bytes
+    are uniform)."""
     del limb_counts
     g_pad = n_groups_pad
     act_any = active_ref[col0, chunk_i]
@@ -184,7 +201,6 @@ def _place_chunk_i8(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
         vi = jax.lax.bitcast_convert_type(vals, I32)  # (nf, C)
         gid = jax.lax.broadcasted_iota(I32, (g_pad, 1), 0)
         ring_oh = (gid == ids).astype(I32)  # (G, C)
-        occ = ring_oh.astype(I8)
 
         rows = []
         for f in range(nf):
@@ -192,8 +208,9 @@ def _place_chunk_i8(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
                 b = jax.lax.shift_right_logical(
                     vi[f:f + 1], I32(8 * k)) & I32(0xFF)  # (1, C) in 0..255
                 rows.append(((b - I32(128)) * ring_oh).astype(I8))  # (G, C)
-        rows.append(occ)
-        a = jnp.concatenate(rows, axis=0)  # ((4*nf+1)*G, C) s8
+        if not drop_occ:
+            rows.append(ring_oh.astype(I8))  # occupancy rides the dot
+        a = jnp.concatenate(rows, axis=0)  # ((4*nf+{0,1})*G, C) s8
 
         for j in range(cols_per_super):
             @pl.when(active_ref[col0 + j, chunk_i] > 0)
@@ -205,16 +222,35 @@ def _place_chunk_i8(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
                 r = jax.lax.dot_general(a, pos_oh_t,
                                         (((1,), (1,)), ((), ())),
                                         preferred_element_type=I32)
-                occ_blk = r[4 * nf * g_pad:(4 * nf + 1) * g_pad]  # (G, W)
-                parts = []
-                for f in range(nf):
-                    def blk(k, f=f):
-                        t = r[(4 * f + k) * g_pad:(4 * f + k + 1) * g_pad]
-                        return t + I32(128) * occ_blk  # undo the offset
-                    oi = (blk(0) | jax.lax.shift_left(blk(1), I32(8))
-                          | jax.lax.shift_left(blk(2), I32(16))
-                          | jax.lax.shift_left(blk(3), I32(24)))
-                    parts.append(jax.lax.bitcast_convert_type(oi, F32))
+                if drop_occ:
+                    # Raw offset assembly: per byte-block k the dot gives
+                    # (b_k - 128) for THIS chunk's landing point, 0
+                    # otherwise; sums (not ORs — blocks are signed) to
+                    # value_bits - 0x80808080 (mod 2^32, i32 wrap) once
+                    # accumulated over all chunks.  Correction + bitcast
+                    # happen XLA-side in the wrapper.
+                    parts = []
+                    for f in range(nf):
+                        def blk(k, f=f):
+                            return r[(4 * f + k) * g_pad:
+                                     (4 * f + k + 1) * g_pad]
+                        parts.append(
+                            blk(0) + jax.lax.shift_left(blk(1), I32(8))
+                            + jax.lax.shift_left(blk(2), I32(16))
+                            + jax.lax.shift_left(blk(3), I32(24)))
+                else:
+                    occ_blk = r[4 * nf * g_pad:
+                                (4 * nf + 1) * g_pad]  # (G, W)
+                    parts = []
+                    for f in range(nf):
+                        def blk(k, f=f):
+                            t = r[(4 * f + k) * g_pad:
+                                  (4 * f + k + 1) * g_pad]
+                            return t + I32(128) * occ_blk  # undo offset
+                        oi = (blk(0) | jax.lax.shift_left(blk(1), I32(8))
+                              | jax.lax.shift_left(blk(2), I32(16))
+                              | jax.lax.shift_left(blk(3), I32(24)))
+                        parts.append(jax.lax.bitcast_convert_type(oi, F32))
                 out_ref[:, j * col_w:(j + 1) * col_w] += jnp.concatenate(
                     parts, axis=0)
 
@@ -222,7 +258,7 @@ def _place_chunk_i8(active_ref, ids_ref, pos_ref, vals_ref, out_ref, chunk_i,
 def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
                        limb_counts=None, interpret: bool = False,
                        chunk: int = _C, chunks_per_step: int = 2,
-                       byte_limbs: bool = False):
+                       byte_limbs: bool = False, counts=None):
     """fields: list of (N,) arrays (cast to f32; exact for int32 |v|<2^24).
     limb_counts: per-field bf16 limb count (1 suffices for values needing
     <=8 mantissa bits, e.g. small label enums; default 3 = full f32).
@@ -230,6 +266,15 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
     (exact for every f32 bit pattern; requires num_groups padded to a
     multiple of 32 for i8 sublane tiling — the 64/128-ring layouts
     qualify; limb_counts is ignored).
+    counts: optional (num_groups,) i32 — points landing per group, i.e.
+    min(total per group, capacity).  byte_limbs only, and REQUIRES dense
+    ranked placement (each group occupies exactly slots 0..counts[g]-1,
+    as group_positions produces): the kernel then drops the shared
+    occupancy row-block from the A tile and the dot (1 of 4*nf+1
+    row-blocks of MXU volume) plus the per-panel +128*occ adds and
+    bitcasts, accumulating raw offset i32; the global correction
+    `+0x80808080 * (slot < counts[g])` is applied ONCE here, XLA-side
+    (round-5 roofline attack on the place stage).
     Values of non-landing points (dropped group / over-capacity) are zeroed
     internally; values of LANDING points must be finite (a landing NaN/Inf
     would poison its whole group row through the one-hot product — the
@@ -292,11 +337,12 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
 
     n_chunks = n_pad // chunk
     cs = math.gcd(n_chunks, chunks_per_step)
+    use_counts = byte_limbs and counts is not None
     out = pl.pallas_call(
         functools.partial(_place_kernel, n_groups_pad=g_pad, col_w=col_w,
                           cols_per_super=cols_per_super, n_fields=nf,
                           limb_counts=limb_counts, chunks_per_step=cs,
-                          byte_limbs=byte_limbs),
+                          byte_limbs=byte_limbs, drop_occ=use_counts),
         grid=(n_super, n_chunks // cs),
         in_specs=[
             pl.BlockSpec((n_cols, n_chunks), lambda s, i: (0, 0),
@@ -306,8 +352,21 @@ def group_place_pallas(ids, pos, fields, num_groups: int, capacity: int,
             pl.BlockSpec((cs, nf, chunk), lambda s, i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nf * g_pad, super_w), lambda s, i: (0, s)),
-        out_shape=jax.ShapeDtypeStruct((nf * g_pad, n_super * super_w), F32),
+        out_shape=jax.ShapeDtypeStruct((nf * g_pad, n_super * super_w),
+                                       I32 if use_counts else F32),
         interpret=interpret,
     )(active, ids2, pos2, vals2)
+    if use_counts:
+        # Undo the -128 byte offsets once per OCCUPIED slot: dense ranked
+        # placement means slot s of group g is occupied iff s < counts[g].
+        # 0x80808080 == 128*(1 + 2^8 + 2^16 + 2^24); i32 add wraps mod
+        # 2^32, matching the kernel's raw assembly.  One (G, cap)
+        # elementwise pass, fused by XLA into the consumer.
+        occ = (jax.lax.broadcasted_iota(I32, (num_groups, capacity), 1)
+               < counts.astype(I32)[:, None])
+        corr = jnp.where(occ, I32(-2139062144), I32(0))  # 0x80808080
+        return [jax.lax.bitcast_convert_type(
+            out[f * g_pad:f * g_pad + num_groups, :capacity] + corr, F32)
+            for f in range(nf)]
     return [out[f * g_pad:f * g_pad + num_groups, :capacity]
             for f in range(nf)]
