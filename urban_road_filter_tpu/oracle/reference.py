@@ -218,16 +218,24 @@ def _beam_walk(rs: np.ndarray, zs: np.ndarray, slope_param: F32,
         if np.isnan(slp):
             nan += one
         else:
-            m = F32(i) - nan  # count of valid slopes incl. this one
-            avg = avg * (m - one)
-            avg = avg + slp
-            avg = avg * (one / m)
-            dev = dev * (m - one)
-            dev = dev + np.abs(slp - avg)
-            dev = dev * (one / m)
-        if slp > slope_param or (
-            i > dmin and (slp * slp - avg * avg) * kdev * ((bx - ax) * kdist) > dev
-        ):
+            # An INF slope (bx == ax without the divide guard tripping)
+            # passes the isnan check and poisons avg/dev through
+            # inf - inf = NaN, exactly like the C++ floats — keep the
+            # values, silence only NumPy's RuntimeWarning.
+            with np.errstate(invalid="ignore"):
+                m = F32(i) - nan  # count of valid slopes incl. this one
+                avg = avg * (m - one)
+                avg = avg + slp
+                avg = avg * (one / m)
+                dev = dev * (m - one)
+                dev = dev + np.abs(slp - avg)
+                dev = dev * (one / m)
+        with np.errstate(invalid="ignore"):
+            trip = slp > slope_param or (
+                i > dmin
+                and (slp * slp - avg * avg) * kdev * ((bx - ax) * kdist) > dev
+            )
+        if trip:
             return i
     return -1
 

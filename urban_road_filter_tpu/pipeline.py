@@ -185,8 +185,12 @@ def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims,
     # like the reference: output clouds are built from array3D only.
     from urban_road_filter_tpu.ops.gather import gather_by_group_pos
 
+    # i8 + minimal group pad (round 5): s8 dot at 2x MXU rate, half the
+    # accumulator/g-reduce for 64-ring rigs (g_mult=8 pads 64 -> 64
+    # instead of 128); bit-equal (tests/test_pallas_interpret.py).
     labels_out = gather_by_group_pos(
-        layout.label.astype(F32), ring_id, pos, pack=4).astype(I32)
+        layout.label.astype(F32), ring_id, pos, pack=4, i8=True,
+        g_mult=8).astype(I32)
 
     # Gate everything on the >=30-point guard: a not-ok scan publishes nothing.
     gate = ok
