@@ -21,6 +21,12 @@ import numpy as np
 def main() -> None:
     import jax
 
+    from urban_road_filter_tpu.utils.compile_cache import enable_persistent_cache
+
+    # Warm cache saves ~20 s of server-side compile per retry process;
+    # the timed loop never includes compiles either way.
+    enable_persistent_cache()
+
     from urban_road_filter_tpu.config import FilterConfig, PipelineDims
     from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
     from urban_road_filter_tpu.pipeline import pad_scan, process_batch_jit

@@ -398,3 +398,48 @@ class TestReplay:
             v(got[0])
         v.close()
         assert v.frames_drawn == 1
+
+
+class TestCompileCache:
+    """enable_persistent_cache (utils/compile_cache.py): the cold-start
+    amortization entry points opt into (VERDICT r4 item 7)."""
+
+    def test_env_zero_disables(self, monkeypatch):
+        from urban_road_filter_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        monkeypatch.setenv("URF_COMPILE_CACHE", "0")
+        assert enable_persistent_cache() is None
+
+    def test_sets_jax_config_and_creates_dir(self, tmp_path, monkeypatch):
+        import jax
+
+        from urban_road_filter_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        monkeypatch.delenv("URF_COMPILE_CACHE", raising=False)
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            want = str(tmp_path / "cache")
+            got = enable_persistent_cache(want)
+            assert got == want and os.path.isdir(want)
+            assert jax.config.jax_compilation_cache_dir == want
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_env_dir_wins_over_default(self, tmp_path, monkeypatch):
+        import jax
+
+        from urban_road_filter_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        want = str(tmp_path / "envcache")
+        monkeypatch.setenv("URF_COMPILE_CACHE", want)
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            assert enable_persistent_cache() == want
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)

@@ -131,6 +131,12 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from urban_road_filter_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
 
     from urban_road_filter_tpu.config import FilterConfig, PipelineDims
     from urban_road_filter_tpu.io.replay import ReplayHarness

@@ -380,6 +380,14 @@ def main() -> None:
                     help="max live-view redraw rate in Hz")
     args = ap.parse_args()
 
+    # Persistent compilation cache: a warm cache cuts process cold-start
+    # from ~50 s to ~18 s at production dims on the axon backend (probed;
+    # utils/compile_cache.py).  The reference node starts in milliseconds
+    # (main.cpp:37-56) — this is the jit-world answer to that gap.
+    from urban_road_filter_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     cfg = FilterConfig()
     if args.config:
         cfg = FilterConfig.from_file(args.config)
