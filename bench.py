@@ -29,7 +29,8 @@ def main() -> None:
 
     from urban_road_filter_tpu.config import FilterConfig, PipelineDims
     from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
-    from urban_road_filter_tpu.pipeline import pad_scan, process_batch_jit
+    from urban_road_filter_tpu.pipeline import (pad_scan, planarize_batch,
+                                                process_batch_jit)
 
     cfg = FilterConfig()
     # 64-beam, ~100k usable pts/scan (BASELINE.json input scale).  Ring
@@ -47,7 +48,11 @@ def main() -> None:
                       n_rings=64, n_azimuth=2048, seed=i),
             dims.max_points)
         for i in range(batch)])
-    pts = jax.numpy.asarray(scans)
+    # Planar (3, B, N) staging (round 5): lane-native coordinate planes —
+    # the row-major (B, N, 4) graph paid a ~2 ms/step device relayout
+    # before its per-column reads, and staged an intensity column no
+    # device stage reads (CPU-pinned bit-equality: tests/test_planar_input).
+    pts = jax.numpy.asarray(planarize_batch(scans))
 
     # Warm-up: compile + the tunnel's expensive first device->host transfer.
     np.asarray(jax.numpy.zeros((8,), jax.numpy.int32))
@@ -90,7 +95,8 @@ def main() -> None:
     # reference's operating mode is one scan at a time, queue depth 1).
     from urban_road_filter_tpu.pipeline import process_scan_jit
 
-    one = pts[0]
+    one = jax.numpy.asarray(
+        np.ascontiguousarray(scans[0][:, :3].T))  # (3, N) planar
     o1 = process_scan_jit(one, cfg, dims)  # compile
     np.asarray(o1.ok)
     lats = []
@@ -138,7 +144,8 @@ def main() -> None:
         and a non-zero lane to make the pair a cross-scan-indexing guard."""
         if batch8 is None:
             batch8 = np.broadcast_to(raw_scan, (8,) + raw_scan.shape)
-        o = process_batch_jit(jax.numpy.asarray(batch8), pcfg, dims)
+        o = process_batch_jit(
+            jax.numpy.asarray(planarize_batch(batch8)), pcfg, dims)
         return _parity(raw_scan, jax.tree.map(lambda a: a[lane], o), pcfg,
                        name)
 
@@ -185,7 +192,8 @@ def main() -> None:
 
     # The single-scan graph (XLA ingest, the latency path measured above)
     # keeps one gated pair too.
-    o1s = process_scan_jit(pts[1], cfg2, dims)  # cache hit on the p50 graph
+    one2 = jax.numpy.asarray(np.ascontiguousarray(scans[1][:, :3].T))
+    o1s = process_scan_jit(one2, cfg2, dims)  # cache hit on the p50 graph
     parity_pairs["blind_spot/single-scan"], systematic["blind_spot/single-scan"] = (
         _parity(scans[1], o1s, cfg2, "blind_spot/single-scan"))
 
@@ -198,13 +206,14 @@ def main() -> None:
     # Small-batch streaming latency (VERDICT r2 item 10): batch 8, two in
     # flight — the per-scan operating mode's end-to-end story.  A scan's
     # end-to-end latency under a depth-2 pipeline is ~2 batch steps.
-    o8 = process_batch_jit(pts[:8], cfg, dims)  # compile
+    pts8 = pts[:, :8, :]  # planar (3, 8, N)
+    o8 = process_batch_jit(pts8, cfg, dims)  # compile
     np.asarray(o8.ok)
-    inflight = [process_batch_jit(pts[:8], cfg, dims)]
+    inflight = [process_batch_jit(pts8, cfg, dims)]
     lats8 = []
     for _ in range(15):
         t0 = time.perf_counter()
-        inflight.append(process_batch_jit(pts[:8], cfg, dims))
+        inflight.append(process_batch_jit(pts8, cfg, dims))
         np.asarray(inflight.pop(0).ok)
         lats8.append((time.perf_counter() - t0) * 1e3)
     np.asarray(inflight.pop(0).ok)
@@ -240,7 +249,8 @@ def main() -> None:
                      make_sensor_scan(sp, "os1_64", seed=71 + 2 * i,
                                       firings=2048)], exts),
         mdims.max_points) for i, sp in enumerate(mspecs)]
-    mpts = jax.numpy.asarray(np.stack([merged[i % 4] for i in range(mbatch)]))
+    mpts = jax.numpy.asarray(planarize_batch(
+        np.stack([merged[i % 4] for i in range(mbatch)])))
 
     outm = process_batch_jit(mpts, cfg, mdims)  # compile (server-side)
     np.asarray(outm.ok)

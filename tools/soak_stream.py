@@ -98,9 +98,10 @@ def device_floor(cfg, dims, pool, n: int = 30) -> dict:
     tunnel/host overhead (VERDICT r4 item 6)."""
     import jax
 
-    from urban_road_filter_tpu.pipeline import pad_scan, process_scan_jit
+    from urban_road_filter_tpu.pipeline import (pad_scan_planar,
+                                                process_scan_jit)
 
-    dev = [jax.numpy.asarray(pad_scan(p, dims.max_points))
+    dev = [jax.numpy.asarray(pad_scan_planar(p, dims.max_points))
            for p in pool[:4]]
     o = process_scan_jit(dev[0], cfg, dims)  # compile
     np.asarray(o.ok)

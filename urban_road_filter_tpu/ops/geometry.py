@@ -32,9 +32,28 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
-def roi_mask(pts: jax.Array, cfg: FilterConfig) -> jax.Array:
+def xyz_of(pts: jax.Array):
+    """(x, y, z, n) from either point orientation.
+
+    Row-major ``(N, 4)`` (the pad_scan layout, matching the reference's
+    point struct) or planar ``(3, N)`` (round 5: coordinate planes are
+    TPU-lane-native (N,) streams — a (N, 4) device tensor pads its 4-wide
+    minor dim to 128 lanes and the batch graph paid a ~2 ms/step relayout
+    copy before every per-column read; planar inputs also skip staging
+    the intensity column the device never reads).  Disambiguation is by
+    the trailing dim: row-major always has exactly 4 columns."""
+    if pts.ndim == 2 and pts.shape[-1] != 4:
+        if pts.shape[0] != 3:
+            raise ValueError(
+                f"points must be (N, 4) row-major or (3, N) planar; got "
+                f"{pts.shape}")
+        return pts[0], pts[1], pts[2], pts.shape[1]
+    return pts[:, 0], pts[:, 1], pts[:, 2], pts.shape[0]
+
+
+def roi_mask_xyz(x: jax.Array, y: jax.Array, z: jax.Array,
+                 cfg: FilterConfig) -> jax.Array:
     """Crop box + zero-point drop (lidar_segmentation.cpp:106-117)."""
-    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     # jnp.asarray (not the F32 scalar-type constructor): the bounds may be
     # dynamic jit operands (config hot-swap without re-trace).
     s = lambda v: jnp.asarray(v, F32)
@@ -44,6 +63,11 @@ def roi_mask(pts: jax.Array, cfg: FilterConfig) -> jax.Array:
         & (z >= s(cfg.min_z)) & (z <= s(cfg.max_z))
         & (x + y + z != F32(0))
     )
+
+
+def roi_mask(pts: jax.Array, cfg: FilterConfig) -> jax.Array:
+    """roi_mask_xyz over a (..., 4) row-major point tensor."""
+    return roi_mask_xyz(pts[..., 0], pts[..., 1], pts[..., 2], cfg)
 
 
 def vertical_angles(x: jax.Array, y: jax.Array, z: jax.Array):

@@ -75,8 +75,10 @@ def star_shaped(pts: jax.Array, valid: jax.Array, labels: jax.Array,
     at beam edges.  `beam_capacity` is accepted for API compatibility and
     ignored (every point participates, like the reference); overflow is
     always 0."""
+    from urban_road_filter_tpu.ops.geometry import xyz_of
+
     del beam_capacity
-    n = pts.shape[0]
+    n = xyz_of(pts)[3]
     hp, overflow = star_hits(pts, valid, cfg)
     hit = hp > 0
     marks = jnp.zeros((n + 1,), jnp.bool_).at[
@@ -131,8 +133,9 @@ def star_hits(pts: jax.Array, valid: jax.Array, cfg: FilterConfig,
     refinement still happens here (table lookups stay XLA); dropped points
     keep fk == STAR_REP under the refinement since both where() branches
     agree there."""
-    n = pts.shape[0]
-    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    from urban_road_filter_tpu.ops.geometry import xyz_of
+
+    x, y, z, n = xyz_of(pts)  # (N, 4) row-major or (3, N) planar
 
     if fk is None:
         # --- polar binning (cpp:162-174): f32 r, fi; truncating index ---

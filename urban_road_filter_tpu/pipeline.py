@@ -73,7 +73,10 @@ def _ingest_batch_tpu(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims):
     from urban_road_filter_tpu.ops.ingest_scan import (
         assign_rings_pallas, discover_rings_pallas, ingest_prep_pallas)
 
-    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    if pts.shape[-1] == 4:  # (B, N, 4) row-major
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    else:  # (3, B, N) planar: each plane is already a lane-native stream
+        x, y, z = pts[0], pts[1], pts[2]
     # The atan2 and the star keys exist only for the star search; non-star
     # configs skip the transcendental pass AND the kernel's two (B, N) key
     # stores (static flag — cfg.star_shaped_method is part of the jit key).
@@ -95,20 +98,21 @@ def _ingest_batch_tpu(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims):
 
 def process_scan(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims,
                  _ingest=None) -> ScanResult:
-    """Label one padded (N, 4) scan.  Trace-time config/dims.  ``_ingest``
-    carries the batch path's precomputed ingest results (see
+    """Label one padded scan — (N, 4) row-major or (3, N) planar (round 5;
+    see geometry.xyz_of: planar skips the device-side column relayout and
+    never stages the unread intensity plane).  Trace-time config/dims.
+    ``_ingest`` carries the batch path's precomputed ingest results (see
     _ingest_batch_tpu).  Single-scan TPU calls use the XLA ingest below:
     at B=1 the batch-aware kernels run at 1/8 sublane utilization and
     MEASURED ~9 ms slower per scan (latency p50 28.3 -> 37.3 ms), while
     the XLA ingest is within noise of the round-3 graph."""
-    n = pts.shape[0]
-    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    x, y, z, n = geometry.xyz_of(pts)
     rings = dims.rings
 
     if _ingest is not None:
         valid, fk0, rk0, piece, ring_id, num_rings = _ingest
     else:
-        valid = geometry.roi_mask(pts, cfg)
+        valid = geometry.roi_mask_xyz(x, y, z, cfg)
         piece = jnp.sum(valid).astype(I32)
         fk0 = rk0 = None
     ok = piece >= MIN_POINTS
@@ -237,6 +241,9 @@ def _process_batch_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
             f"URF_BATCH_INGEST changed mid-process ({mode!r} vs the "
             f"import-time {_BATCH_INGEST_MODE!r}); it is a trace-time "
             f"knob — one variant per process (ADVICE r4)")
+    # Planar batches are (3, B, N): the scan axis is 1, not 0 (see
+    # pad_scan_planar / planarize_batch).
+    scan_axis = 0 if pts.shape[-1] == 4 else 1
     if mode == "kernels" or (
             mode != "xla" and jax.default_backend() in ("tpu", "axon")):
         # Batch-aware ingest kernels run once over the (B, N) streams;
@@ -244,10 +251,11 @@ def _process_batch_dyn(pts, dyn, static_cfg, dims) -> ScanResult:
         TRACE_COUNTS["batch_ingest"] = "kernels"
         ingest = _ingest_batch_tpu(pts, cfg, dims)
         return jax.vmap(
-            lambda p, *ing: process_scan(p, cfg, dims, _ingest=ing))(
-                pts, *ingest)
+            lambda p, *ing: process_scan(p, cfg, dims, _ingest=ing),
+            in_axes=(scan_axis,) + (0,) * len(ingest))(pts, *ingest)
     TRACE_COUNTS["batch_ingest"] = "xla"
-    return jax.vmap(lambda p: process_scan(p, cfg, dims))(pts)
+    return jax.vmap(lambda p: process_scan(p, cfg, dims),
+                    in_axes=scan_axis)(pts)
 
 
 def process_scan_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
@@ -261,7 +269,11 @@ def process_scan_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> S
 
 
 def process_batch_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
-    """(B, N, 4) batched pipeline — the throughput path (BASELINE config #4)."""
+    """Batched pipeline — the throughput path (BASELINE config #4).
+
+    Accepts (B, N, 4) row-major or (3, B, N) planar (planarize_batch);
+    planar is the TPU-native orientation (no relayout copy, no unread
+    intensity staging) and is what bench.py feeds."""
     static_cfg, dyn = cfg.split()
     return _process_batch_dyn(pts, dyn, static_cfg, dims)
 
@@ -275,3 +287,26 @@ def pad_scan(points, n: int):
     m = min(len(points), n)
     pts[:m, : points.shape[1]] = points[:m, :4]
     return pts
+
+
+def pad_scan_planar(points, n: int):
+    """pad_scan's planar twin: (M, >=3) -> (3, n) float32 x/y/z planes.
+
+    The planar orientation is the TPU-native one (round 5): each plane is
+    a lane-contiguous (n,) stream, so the device graph skips the (n, 4)
+    relayout copy before its per-column reads, and the intensity column —
+    which no device stage consumes — is never staged (25 % less H2D)."""
+    import numpy as np
+
+    pts = np.zeros((3, n), np.float32)
+    m = min(len(points), n)
+    pts[:, :m] = np.asarray(points, np.float32)[:m, :3].T
+    return pts
+
+
+def planarize_batch(batch):
+    """(B, N, >=3) row-major host batch -> contiguous (3, B, N) planar."""
+    import numpy as np
+
+    return np.ascontiguousarray(
+        np.asarray(batch, np.float32)[..., :3].transpose(2, 0, 1))
