@@ -51,3 +51,21 @@ def test_data_parallel_2x4_mesh(batch):
     out = run(jax.numpy.asarray(batch[:4]))
     jax.block_until_ready(out)
     assert np.asarray(out.ok).all()
+
+
+def test_data_parallel_planar_matches_row_major(batch):
+    """Planar (3, B, N) input shards scan axis 1 and is bit-equal to the
+    row-major DP path (and therefore, transitively, to single-device)."""
+    from urban_road_filter_tpu.pipeline import planarize_batch
+
+    cfg = FilterConfig()
+    mesh = make_mesh(n_data=8)
+    run = make_sharded_pipeline(mesh, cfg, DIMS)
+    o_rows = run(jax.numpy.asarray(batch))
+    o_planes = run(jax.numpy.asarray(planarize_batch(batch)))
+    jax.block_until_ready((o_rows, o_planes))
+    for name, a, b in zip(o_rows._fields, o_rows, o_planes):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"field {name}")
+    shard_devs = {s.device for s in o_planes.labels.addressable_shards}
+    assert len(shard_devs) == 8

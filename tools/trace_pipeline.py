@@ -133,7 +133,8 @@ def main():
 
     from urban_road_filter_tpu.config import FilterConfig, PipelineDims
     from urban_road_filter_tpu.io.synthetic import SCENES, make_scan
-    from urban_road_filter_tpu.pipeline import pad_scan, process_batch_jit
+    from urban_road_filter_tpu.pipeline import (pad_scan, planarize_batch,
+                                                process_batch_jit)
 
     cfg = FilterConfig()
     dims = PipelineDims(max_points=131072, rings=64, ring_capacity=2048,
@@ -143,7 +144,8 @@ def main():
                            n_rings=64, n_azimuth=2048, seed=i),
                  dims.max_points)
         for i in range(args.batch)])
-    pts = jax.numpy.asarray(scans)
+    # Planar staging (round 5, step 36): trace the graph bench.py runs.
+    pts = jax.numpy.asarray(planarize_batch(scans))
 
     np.asarray(jax.numpy.zeros((8,), jax.numpy.int32))  # tunnel warm-up
     out = process_batch_jit(pts, cfg, dims)
