@@ -180,6 +180,25 @@ def test_sp_full_scanresult_surface(scene, mesh8):
     assert out.labels.dtype == ref.labels.dtype  # int8 D2H on both paths
 
 
+def test_sp_planar_input_bit_equal(mesh8):
+    """Planar (3, N) input through the SP pipeline must be bit-equal to
+    row-major (N, 4) — same wedge partition, same wedge graphs (the
+    orientation only changes the intake slicing/scatter; the replay
+    harness stages planar in SP mode too)."""
+    from urban_road_filter_tpu.pipeline import pad_scan_planar
+
+    cfg = FilterConfig()
+    scan = alpha_sorted(make_scan(SCENES["two_curbs"](), n_rings=16,
+                                  n_azimuth=384, seed=23))
+    run = make_azimuth_pipeline(mesh8, cfg, DIMS)
+    o_rows = run(jax.numpy.asarray(pad_scan(scan, DIMS.max_points)))
+    o_planes = run(jax.numpy.asarray(pad_scan_planar(scan, DIMS.max_points)))
+    jax.block_until_ready((o_rows, o_planes))
+    for name, a, b in zip(o_rows._fields, o_rows, o_planes):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"field {name}")
+
+
 def test_sp_replay_harness_integration(mesh8):
     """ReplayHarness drives the SP pipeline end-to-end (one flag), yielding
     the same five-topic ScanOutputs as the single-device harness."""

@@ -157,18 +157,15 @@ class ReplayHarness:
     def _to_device(self, raw: np.ndarray):
         import jax
 
-        from urban_road_filter_tpu.pipeline import pad_scan, pad_scan_planar
+        from urban_road_filter_tpu.pipeline import pad_scan_planar
 
         # Planar (3, N) staging (round 5): lane-native coordinate planes
         # skip the device-side (N, 4) column relayout AND never ship the
         # intensity column no device stage reads — 25 % less H2D per scan,
         # which is the dominant per-scan latency through the tunnel
-        # (STREAM_r05 attribution).  Bit-equal to row-major
-        # (tests/test_planar_input.py).  The azimuth-sharded (SP) pipeline
-        # intake is (N, 4)-only, so SP mode stages row-major.
-        if self.azimuth_shard > 1:
-            return jax.device_put(jax.numpy.asarray(
-                pad_scan(raw, self.dims.max_points)))
+        # (STREAM_r05 attribution).  Bit-equal to row-major on the
+        # single-device AND azimuth-sharded paths (tests/test_planar_input,
+        # test_azimuth_parallel::test_sp_planar_input_bit_equal).
         return jax.device_put(jax.numpy.asarray(
             pad_scan_planar(raw, self.dims.max_points)))
 

@@ -215,8 +215,9 @@ def _extend_with_halo(layout: geometry.RingLayout, left, right, cp: int):
 
 def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims,
                           wedge_slack: float = 1.5):
-    """Returns run(pts (N, 4), cfg=None) -> ScanResult for ONE scan sharded
-    by azimuth — the FULL five-topic surface (ok, roi, labels, ring_id,
+    """Returns run(pts, cfg=None) -> ScanResult for ONE scan — (N, 4)
+    row-major or (3, N) planar (pipeline.pad_scan_planar) — sharded by
+    azimuth: the FULL five-topic surface (ok, roi, labels, ring_id,
     counts, max_distance, markers, overflow, probably_road), per original
     input point and replicated, so ReplayHarness can publish the same
     outputs as the single-device path (VERDICT r2 item 5).
@@ -249,14 +250,15 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims,
     dyn_specs = jax.tree_util.tree_map(lambda _: P(), dyn0)
 
     def wedge_fn(static_cfg, pts_w, idx_w, dyn):
-        """Runs on one device: pts_w (per_wedge, 4) already wedge-partitioned,
-        idx_w original indices (per_wedge,).  dyn is the replicated dynamic
-        config pytree (shard_map cannot close over tracers)."""
+        """Runs on one device: pts_w — (per_wedge, 4) row-major or
+        (3, per_wedge) planar — already wedge-partitioned, idx_w original
+        indices (per_wedge,).  dyn is the replicated dynamic config pytree
+        (shard_map cannot close over tracers)."""
         cfg = static_cfg.merge(dyn)
         cp = int(cfg.curb_points)
         me = jax.lax.axis_index(AX)
-        x, y, z = pts_w[:, 0], pts_w[:, 1], pts_w[:, 2]
-        valid = geometry.roi_mask(pts_w, cfg) & (idx_w >= 0)
+        x, y, z, _ = geometry.xyz_of(pts_w)
+        valid = geometry.roi_mask_xyz(x, y, z, cfg) & (idx_w >= 0)
         piece = jax.lax.psum(jnp.sum(valid).astype(I32), AX)
         ok = piece >= MIN_POINTS
 
@@ -347,7 +349,6 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims,
                            & gate),
             piece=piece)
 
-    spec_pts = P(AX, None)
     spec_idx = P(AX)
     wedge_out_spec = dict(ok=P(), labels=P(), roi=P(), ring_id=P(),
                           num_rings=P(), counts=P(), max_distance=P(),
@@ -358,15 +359,19 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims,
                        out_shardings=NamedSharding(mesh, P()))
     def _run(pts, dyn, static_cfg):
         rcfg = static_cfg.merge(dyn)
+        # Orientation (trace-time; geometry.xyz_of rule): row-major (N, 4)
+        # shards rows over wedges, planar (3, N) shards the point axis.
+        planar = not (pts.ndim == 2 and pts.shape[-1] == 4)
+        spec_pts = P(None, AX) if planar else P(AX, None)
         sharded = shard_map(functools.partial(wedge_fn, static_cfg),
                             mesh=mesh, in_specs=(spec_pts, spec_idx,
                                                  dyn_specs),
                             out_specs=wedge_out_spec, check_vma=False)
         # Partition points into contiguous azimuth wedges (device-side
         # pre-pass; XLA inserts the all_to_all on the resharding).
-        valid = geometry.roi_mask(pts, rcfg)
-        w = jnp.where(valid, _wedge_of(pts[:, 0], pts[:, 1], n_wedges),
-                      n_wedges)
+        x0, y0, z0, _ = geometry.xyz_of(pts)
+        valid = geometry.roi_mask_xyz(x0, y0, z0, rcfg)
+        w = jnp.where(valid, _wedge_of(x0, y0, n_wedges), n_wedges)
         iota = jnp.arange(n, dtype=I32)
         order = jnp.argsort(w * I32(n) + iota)  # stable by input order
         counts = jnp.zeros((n_wedges + 1,), I32).at[w].add(1)
@@ -380,12 +385,16 @@ def make_azimuth_pipeline(mesh, cfg: FilterConfig, dims: PipelineDims,
                                 ).astype(I32)
         dst = jnp.where(fits, w[order] * I32(per_wedge) + pos,
                         I32(n_wedges * per_wedge))
-        pts_w = jnp.zeros((n_wedges * per_wedge + 1, 4), F32).at[dst].set(
-            pts[order])[:-1]
+        if planar:
+            pts_w = jnp.zeros((3, n_wedges * per_wedge + 1), F32).at[
+                :, dst].set(pts[:, order])[:, :-1]
+        else:
+            pts_w = jnp.zeros((n_wedges * per_wedge + 1, 4), F32).at[
+                dst].set(pts[order])[:-1]
         idx_w = jnp.full((n_wedges * per_wedge + 1,), -1, I32).at[dst].set(
             order.astype(I32))[:-1]
         pts_w = jax.lax.with_sharding_constraint(
-            pts_w, NamedSharding(mesh, P(AX, None)))
+            pts_w, NamedSharding(mesh, spec_pts))
         idx_w = jax.lax.with_sharding_constraint(
             idx_w, NamedSharding(mesh, P(AX)))
         res = sharded(pts_w, idx_w, dyn)
