@@ -312,17 +312,27 @@ class ReplayHarness:
         # stats as points_in < len(raw)).
         n_in = min(len(raw), self.dims.max_points)
         raw = raw[:n_in]
-        labels = np.asarray(out.labels)[:n_in]
-        roi = np.asarray(out.roi)[:n_in]
-        prob = np.asarray(out.probably_road)[:n_in]
+        # ONE device_get for every output this scan publishes: on the
+        # tunneled backend each separate np.asarray/int()/bool() fetch is
+        # its own host<->device round trip (~25-45 ms dispatch floor,
+        # CLAUDE.md) — the round-5 soak measured post_ms ~175 ms/scan of
+        # which most was per-fetch overhead, not bytes (labels+roi+prob
+        # total ~0.4 MB).
+        import jax
+
+        labels, roi, prob, markers, out_ok, out_rings, out_overflow = (
+            jax.device_get((out.labels, out.roi, out.probably_road,
+                            out.markers, out.ok, out.num_rings,
+                            out.overflow)))
+        labels = labels[:n_in]
+        roi = roi[:n_in]
+        prob = prob[:n_in]
         pts = raw[:, :4] if raw.shape[1] >= 4 else np.concatenate(
             [raw, np.zeros((n_in, 4 - raw.shape[1]), raw.dtype)], axis=1)
-
-        markers = np.asarray(out.markers)
         sel = markers[:, 0] > 0
         rows = markers[sel][:, 1:5]
         strips = []
-        if len(rows) > 2 and bool(out.ok):
+        if len(rows) > 2 and bool(out_ok):
             rows = rows.copy()
             rows[:, 3] = smooth_marker_flags(rows[:, 3])
             built, line_strip_id = build_line_strips(
@@ -334,16 +344,16 @@ class ReplayHarness:
             strips = self.tracker.finalize(built, line_strip_id)
 
         stats = ScanStats(
-            seq=self._seq, ok=bool(out.ok), points_in=n_in,
-            points_roi=int(roi.sum()), num_rings=int(out.num_rings),
+            seq=self._seq, ok=bool(out_ok), points_in=n_in,
+            points_roi=int(roi.sum()), num_rings=int(out_rings),
             road_points=int((labels == LABEL_ROAD).sum()),
             curb_points=int((labels == LABEL_CURB).sum()),
-            marker_count=int(sel.sum()), overflow=int(out.overflow),
+            marker_count=int(sel.sum()), overflow=int(out_overflow),
             latency_ms=latency_ms, dispatch_ms=dispatch_ms,
             stage_ms=stage_ms, fetch_ms=fetch_ms)
 
         return ScanOutputs(
-            seq=self._seq, ok=bool(out.ok),
+            seq=self._seq, ok=bool(out_ok),
             road=pts[(labels == LABEL_ROAD)],
             curb=pts[(labels == LABEL_CURB)],
             roi=pts[roi],
