@@ -13,12 +13,13 @@ host), and writes STREAM_r05.json:
                     approximates the DEVICE+sync cost per scan.  Every
                     other phase's latency minus this is host/tunnel time.
   phase "10hz":     >= 60 s at the sensor rate, drop mode.  On this
-                    tunneled backend the serial per-scan wall (stage +
-                    fetch through the tunnel; ~129 ms p50 with planar
-                    staging, round 5 — was ~315 ms row-major in round 4)
-                    exceeds the 100 ms period, so drops ARE expected
-                    here; on a directly-attached TPU the phase should
-                    keep up with 0 drops.
+                    tunneled backend the serial per-scan wall (one fetch
+                    round trip delivering all outputs; ~88 ms p50 with
+                    planar staging + single-round-trip fetch, round 5 —
+                    was ~315 ms in round 4) sits near the 100 ms period,
+                    so a few drops are expected on latency spikes; on a
+                    directly-attached TPU the phase should keep up with
+                    0 drops.
   phase "overload": ~20 s at 30 Hz — the period is below the per-scan
                     latency, so queue-1 drops MUST engage; proves the
                     drop counter on real hardware.

@@ -234,16 +234,24 @@ class ReplayHarness:
             outputs = None
             if err is None:
                 try:
-                    out = jax.block_until_ready(out)
-                    # Fetch-sync before stamping latency: on the tunneled
-                    # axon backend block_until_ready can return before the
-                    # computation drains (CLAUDE.md) — a tiny scalar fetch
-                    # forces it, so latency_ms is honest device time.
-                    np.asarray(out.ok)
+                    # ONE host<->device round trip delivers every output
+                    # the node publishes (labels, roi, probably_road,
+                    # markers + the three scalars).  On the tunneled axon
+                    # backend each separate fetch pays its own ~25-45 ms
+                    # round trip (block_until_ready may return before the
+                    # computation drains, CLAUDE.md, so a fetch is also
+                    # the only honest sync) — a scalar ok-probe followed
+                    # by a device_get in postprocess cost one extra trip
+                    # per scan.  latency_ms therefore includes output
+                    # delivery — the time the results are actually in
+                    # host memory, which is what a subscriber observes.
+                    host = jax.device_get(
+                        (out.labels, out.roi, out.probably_road,
+                         out.markers, out.ok, out.num_rings, out.overflow))
                     t3 = time.perf_counter()
                     latency_ms = (t3 - t0) * 1e3
                     outputs = self._postprocess(
-                        raw, out, latency_ms,
+                        raw, host, latency_ms,
                         dispatch_ms=(t1 - t0) * 1e3,
                         stage_ms=(t2 - t1) * 1e3,
                         fetch_ms=(t3 - t2) * 1e3)
@@ -304,26 +312,20 @@ class ReplayHarness:
             self._save_checkpoint()
         return self.metrics
 
-    def _postprocess(self, raw, out, latency_ms: float,
+    def _postprocess(self, raw, host_out, latency_ms: float,
                      dispatch_ms: float = 0.0, stage_ms: float = 0.0,
                      fetch_ms: float = 0.0) -> ScanOutputs:
+        """Pure host work: ``host_out`` is the already-fetched
+        (labels, roi, probably_road, markers, ok, num_rings, overflow)
+        tuple — the run loop delivers it in ONE device round trip (the
+        fetch that also stamps latency_ms), so nothing here touches the
+        device."""
         # Scans larger than dims.max_points are truncated by pad_scan;
         # postprocess the processed prefix (the truncation is visible in
         # stats as points_in < len(raw)).
         n_in = min(len(raw), self.dims.max_points)
         raw = raw[:n_in]
-        # ONE device_get for every output this scan publishes: on the
-        # tunneled backend each separate np.asarray/int()/bool() fetch is
-        # its own host<->device round trip (~25-45 ms dispatch floor,
-        # CLAUDE.md) — the round-5 soak measured post_ms ~175 ms/scan of
-        # which most was per-fetch overhead, not bytes (labels+roi+prob
-        # total ~0.4 MB).
-        import jax
-
-        labels, roi, prob, markers, out_ok, out_rings, out_overflow = (
-            jax.device_get((out.labels, out.roi, out.probably_road,
-                            out.markers, out.ok, out.num_rings,
-                            out.overflow)))
+        labels, roi, prob, markers, out_ok, out_rings, out_overflow = host_out
         labels = labels[:n_in]
         roi = roi[:n_in]
         prob = prob[:n_in]

@@ -35,10 +35,13 @@ class ScanStats:
     #   dispatch_ms: host time to enqueue the jitted call;
     #   stage_ms:    H2D device_put of the NEXT scan (overlaps the device
     #                step, charged to this scan's wall);
-    #   fetch_ms:    block_until_ready + the ok-scalar fetch — the device
-    #                step residual after overlap, plus D2H sync;
-    #   post_ms:     host postprocess incl. the big label/marker D2H
-    #                (outside latency_ms; it serializes the stream, so
+    #   fetch_ms:    the ONE device_get round trip delivering every
+    #                published output (labels/roi/prob/markers+scalars) —
+    #                device-step residual after overlap + the full output
+    #                D2H, i.e. latency_ms ends when results are in host
+    #                memory (what a subscriber observes);
+    #   post_ms:     pure-host postprocess (marker strips, label splits;
+    #                outside latency_ms; it serializes the stream, so
     #                flat-out scans/s < 1000/latency_ms by this much).
     dispatch_ms: float = 0.0
     stage_ms: float = 0.0
