@@ -22,6 +22,12 @@ DIMS = PipelineDims(max_points=8192, rings=64, ring_capacity=1024,
                     beam_capacity=256)
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, time.perf_counter() - t0
+
+
 class TestPcd:
     def test_binary_roundtrip(self, tmp_path):
         pts = np.random.default_rng(0).normal(size=(1000, 4)).astype(np.float32)
@@ -184,9 +190,13 @@ class TestPcd:
         pts = rng.normal(size=(262144, 4)).astype(np.float32)
         p = tmp_path / "big.pcd"
         write_pcd(p, pts, compressed=True)
-        t0 = time.perf_counter()
+        # Best-of-3 wall time: the absolute threshold tripped at 386 ms
+        # when the FULL suite saturated a 1-core host (the parse itself is
+        # ~40 ms; all scheduling noise is additive, so the minimum is the
+        # honest figure — same rule as the device probes, CLAUDE.md).
+        dt = min(_timed(lambda: read_pcd_native(str(p)))[1]
+                 for _ in range(3))
         got = read_pcd_native(str(p))
-        dt = time.perf_counter() - t0
         np.testing.assert_array_equal(got, pts)
         np.testing.assert_array_equal(read_pcd(p, use_native=False), pts)
         assert dt < 0.25, f"native compressed parse took {dt * 1e3:.0f} ms"
