@@ -28,6 +28,11 @@ host), and writes STREAM_r05.json:
                     bench.py's batch-8 figure is ~3.5 ms/scan because 8
                     scans share one ~30 ms dispatched step; a 1-scan loop
                     pays the full step per scan).
+  phase "10hz_depth2"/"flatout_depth2": the same 10 Hz and flat-out runs
+                    with pipeline_depth=2 — dispatch and transfers
+                    overlap the device step (bit-identical outputs,
+                    TestReplayPipelined); measures what the overlap buys
+                    the live node.
   phase "resume":   checkpoint every scan, hard-stop mid-stream, build a
                     FRESH harness on the same checkpoint, finish — seq
                     must land exactly at stream length with no scan
@@ -183,6 +188,23 @@ def main():
     m = h.run(cycle_source(pool, nf))
     result["flatout"] = {**pcts(m),
                          "wall_s": round(time.perf_counter() - t0, 1)}
+
+    # Phases 3b/3c: pipeline_depth=2 — dispatch/transfers overlap the
+    # device step (the bench technique, now a harness mode).  Outputs are
+    # identical to depth 1 (TestReplayPipelined); these phases measure
+    # what the overlap buys the live node on this backend.
+    h = ReplayHarness(cfg, dims, rate_hz=10.0, drop_when_behind=True,
+                      pipeline_depth=2)
+    t0 = time.perf_counter()
+    m = h.run(cycle_source(pool, n10))
+    result["10hz_depth2"] = {**pcts(m),
+                             "wall_s": round(time.perf_counter() - t0, 1)}
+
+    h = ReplayHarness(cfg, dims, rate_hz=0.0, pipeline_depth=2)
+    t0 = time.perf_counter()
+    m = h.run(cycle_source(pool, nf))
+    result["flatout_depth2"] = {**pcts(m),
+                                "wall_s": round(time.perf_counter() - t0, 1)}
 
     # Phase 4: checkpoint/resume across a mid-run restart.
     ckpt = os.path.join(tempfile.mkdtemp(prefix="urf_soak_"), "ckpt.json")

@@ -91,13 +91,26 @@ class ReplayHarness:
                  checkpoint_path: Optional[str] = None,
                  on_scan: Optional[Callable[[ScanOutputs], None]] = None,
                  azimuth_shard: int = 0,
-                 checked: bool = False):
+                 checked: bool = False,
+                 pipeline_depth: int = 1):
         self.cfg = cfg or FilterConfig()
         self.dims = dims or PipelineDims()
         self.rate_hz = rate_hz
         self.drop_when_behind = drop_when_behind
         self.checkpoint_path = checkpoint_path
         self.on_scan = on_scan
+        # pipeline_depth > 1: keep that many scans in flight (dispatch scan
+        # t+1 before fetching scan t's outputs) — per-scan dispatch and the
+        # H2D/D2H round trips overlap the device step, the same technique
+        # bench.py uses (CLAUDE.md).  Depth 1 is the reference's strict
+        # queue-1 serial semantics (lidar_segmentation.cpp:53); outputs,
+        # ordering and per-scan isolation are identical at any depth
+        # (tests/test_io_runtime.py::TestReplayPipelined).  One semantic
+        # difference: dropped positions are checkpointed at the NEXT
+        # delivery instead of immediately, so a crash inside a drop burst
+        # re-consumes (and processes) those scans on resume — at-least-once
+        # for drops, never a lost scan.
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # azimuth_shard > 1: run each scan azimuth-sharded over that many
         # devices (the 128-beam multi-LiDAR SP mode; same five-topic
         # ScanOutputs — parallel.azimuth_parallel returns the full
@@ -209,6 +222,8 @@ class ReplayHarness:
 
         period = 1.0 / self.rate_hz if self.rate_hz > 0 else 0.0
         self.metrics.start()
+        if self.pipeline_depth > 1:
+            return self._run_pipelined(it, max_scans, period)
         next_deadline = time.perf_counter()
 
         # Double buffering: device_put scan t+1 while scan t computes.
@@ -245,9 +260,7 @@ class ReplayHarness:
                     # per scan.  latency_ms therefore includes output
                     # delivery — the time the results are actually in
                     # host memory, which is what a subscriber observes.
-                    host = jax.device_get(
-                        (out.labels, out.roi, out.probably_road,
-                         out.markers, out.ok, out.num_rings, out.overflow))
+                    host = self._fetch_outputs(out)
                     t3 = time.perf_counter()
                     latency_ms = (t3 - t0) * 1e3
                     outputs = self._postprocess(
@@ -308,6 +321,127 @@ class ReplayHarness:
         if pending[0] is None and pending[2]:
             # Trailing malformed scans were consumed from the stream; charge
             # their positions so a resume does not re-consume them.
+            self._seq += pending[2]
+            self._save_checkpoint()
+        return self.metrics
+
+    @staticmethod
+    def _fetch_outputs(out):
+        """One device_get round trip for every output the node publishes
+        (order matches _postprocess's host_out tuple)."""
+        import jax
+
+        return jax.device_get(
+            (out.labels, out.roi, out.probably_road, out.markers,
+             out.ok, out.num_rings, out.overflow))
+
+    def _run_pipelined(self, it: Iterator[np.ndarray],
+                       max_scans: Optional[int],
+                       period: float) -> StreamMetrics:
+        """pipeline_depth >= 2: keep up to `depth` dispatched scans in
+        flight; fetch (deliver) the oldest when the pipe is full or input
+        ran out.  Identical outputs, ordering and per-scan isolation as
+        the depth-1 loop (pinned by TestReplayPipelined); positions of
+        DROPPED scans ride the pending entry's skipped counter and are
+        checkpointed at the next delivery (see __init__ note).
+
+        Per-scan attribution at depth > 1: latency_ms spans dispatch ->
+        outputs-in-host-memory (it includes time the scan waited behind
+        older in-flight scans); stage_ms is 0 (staging is fully
+        overlapped, charged to no scan) and fetch_ms = latency_ms -
+        dispatch_ms, keeping the dispatch + stage + fetch == latency_ms
+        invariant."""
+        from collections import deque
+
+        depth = self.pipeline_depth
+        next_deadline = time.perf_counter()
+        inflight: deque = deque()
+        pending = self._stage(it)  # (host_scan, device_scan, n_skipped)
+        done = 0
+        dispatched = 0
+
+        while True:
+            # Fill the pipe (staging the next scan overlaps device work).
+            while (pending[0] is not None and len(inflight) < depth
+                   and (max_scans is None or dispatched < max_scans)):
+                raw, dev, skipped = pending
+                t0 = time.perf_counter()
+                err = None
+                out = None
+                try:
+                    out = self._process(dev)
+                except Exception as e:  # noqa: BLE001 — per-scan isolation
+                    err = e
+                t1 = time.perf_counter()
+                inflight.append((raw, skipped, out, err, t0, t1))
+                dispatched += 1
+                pending = self._stage(it)
+            if not inflight:
+                break
+
+            raw, skipped, out, err, t0, t1 = inflight.popleft()
+            self._seq += skipped  # errored/dropped earlier stream positions
+            outputs = None
+            if err is None:
+                try:
+                    host = self._fetch_outputs(out)
+                    t3 = time.perf_counter()
+                    latency_ms = (t3 - t0) * 1e3
+                    dispatch_ms = (t1 - t0) * 1e3
+                    outputs = self._postprocess(
+                        raw, host, latency_ms,
+                        dispatch_ms=dispatch_ms,
+                        stage_ms=0.0,
+                        fetch_ms=latency_ms - dispatch_ms)
+                    outputs.stats.post_ms = (
+                        time.perf_counter() - t3) * 1e3
+                except Exception as e:  # noqa: BLE001
+                    err = e
+
+            if err is None:
+                self.metrics.record(outputs.stats)
+                if self.on_scan:
+                    self.on_scan(outputs)
+            else:
+                self.metrics.record_error(f"scan seq={self._seq}: {err!r}")
+            self._seq += 1
+            done += 1
+            self._save_checkpoint()
+
+            if period:
+                next_deadline += period
+                lag = time.perf_counter() - next_deadline
+                if lag > 0 and self.drop_when_behind:
+                    # Queue-`depth` drops: discard from the staging
+                    # frontier (in-flight scans always complete).  Dropped
+                    # scans are consumed RAW — never staged — and their
+                    # stream positions carry forward on the survivor's
+                    # skipped counter (charged at its delivery).
+                    n_skip = int(lag / period)
+                    restage = False
+                    for _ in range(n_skip):
+                        if pending[0] is None:
+                            break
+                        pending = (next(it, None), None, pending[2] + 1)
+                        restage = True
+                        self.metrics.record_drop()
+                        next_deadline += period
+                    if restage and pending[0] is not None:
+                        try:
+                            pending = (pending[0],
+                                       self._to_device(pending[0]),
+                                       pending[2])
+                        except Exception as e:  # noqa: BLE001
+                            self.metrics.record_error(f"stage: {e!r}")
+                            nxt = self._stage(it)
+                            # the failed survivor occupies a stream position
+                            pending = (nxt[0], nxt[1],
+                                       nxt[2] + pending[2] + 1)
+                elif lag < 0:
+                    time.sleep(-lag)
+
+        if pending[0] is None and pending[2]:
+            # Trailing consumed positions (malformed and/or dropped).
             self._seq += pending[2]
             self._save_checkpoint()
         return self.metrics
@@ -378,6 +512,11 @@ def main() -> None:
                     help="replay rate; 0 = as fast as possible")
     ap.add_argument("--no-drop", action="store_true",
                     help="lossless mode instead of queue-1 drop semantics")
+    ap.add_argument("--pipeline-depth", type=int, default=1,
+                    help="scans kept in flight (1 = the reference's strict "
+                         "queue-1 serial loop; 2 overlaps dispatch/"
+                         "transfers with the device step for ~2-3x "
+                         "streaming throughput)")
     ap.add_argument("--azimuth-shard", type=int, default=0,
                     help="shard each scan over this many devices by azimuth "
                          "(sequence-parallel mode; must divide 360)")
@@ -454,7 +593,8 @@ def main() -> None:
                       drop_when_behind=not args.no_drop,
                       checkpoint_path=args.checkpoint, on_scan=sink,
                       azimuth_shard=args.azimuth_shard,
-                      checked=args.checked)
+                      checked=args.checked,
+                      pipeline_depth=args.pipeline_depth)
     metrics = h.run(source, max_scans=args.scans)
     print(json.dumps(metrics.summary()))
 
