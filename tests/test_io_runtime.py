@@ -361,6 +361,31 @@ class TestReplay:
         state = json.load(open(ck))
         assert state["seq"] == 3  # 1 processed + 2 trailing errored
 
+    def test_packed_wire_format(self):
+        """The harness's default device path packs labels/roi/probably_road
+        into one uint8 plane (3x less output D2H); unpacking must be
+        bit-equal to the full ScanResult surface."""
+        from urban_road_filter_tpu.pipeline import (
+            pad_scan_planar, packed_scan_jit, process_scan_jit,
+            unpack_planes)
+
+        cfg = FilterConfig()
+        scan = make_scan(SCENES["two_curbs"](), n_rings=16, n_azimuth=256,
+                         seed=4)
+        pts = pad_scan_planar(scan, DIMS.max_points)
+        ref = process_scan_jit(pts, cfg, DIMS)
+        packed, markers, ok, rings, overflow = packed_scan_jit(pts, cfg,
+                                                               DIMS)
+        labels, roi, prob = unpack_planes(np.asarray(packed))
+        np.testing.assert_array_equal(labels, np.asarray(ref.labels))
+        np.testing.assert_array_equal(roi, np.asarray(ref.roi))
+        np.testing.assert_array_equal(prob, np.asarray(ref.probably_road))
+        np.testing.assert_array_equal(np.asarray(markers),
+                                      np.asarray(ref.markers))
+        assert bool(ok) == bool(ref.ok)
+        assert int(rings) == int(ref.num_rings)
+        assert int(overflow) == int(ref.overflow)
+
     def test_viz_renders(self, tmp_path):
         pytest.importorskip("matplotlib")
         from urban_road_filter_tpu.viz import save_scan_png

@@ -126,7 +126,7 @@ class ReplayHarness:
         self._seq = 0
 
     def _process(self, dev_scan):
-        from urban_road_filter_tpu.pipeline import process_scan_jit
+        from urban_road_filter_tpu.pipeline import packed_scan_jit
 
         if self.azimuth_shard > 1:
             if self._sp_run is None:
@@ -143,7 +143,12 @@ class ReplayHarness:
                 process_scan_checked)
 
             return process_scan_checked(dev_scan, self.cfg, self.dims)
-        return process_scan_jit(dev_scan, self.cfg, self.dims)
+        # Default path: the packed wire format — labels/roi/probably_road
+        # ride ONE uint8 plane, ~3x less output D2H per scan (the tunnel's
+        # D2H is ~12 MB/s; see pipeline.packed_scan_jit).  Unpacked by
+        # _fetch_outputs; bit-equal to process_scan_jit
+        # (tests/test_io_runtime.py::TestReplay::test_packed_wire_format).
+        return packed_scan_jit(dev_scan, self.cfg, self.dims)
 
     # ---- checkpoint / resume ----
     def _save_checkpoint(self) -> None:
@@ -328,9 +333,17 @@ class ReplayHarness:
     @staticmethod
     def _fetch_outputs(out):
         """One device_get round trip for every output the node publishes
-        (order matches _postprocess's host_out tuple)."""
+        (order matches _postprocess's host_out tuple).  `out` is either a
+        packed_scan_jit tuple (default path — one uint8 plane unpacked
+        here on host) or a full ScanResult (SP / checked modes)."""
         import jax
 
+        from urban_road_filter_tpu.pipeline import unpack_planes
+
+        if isinstance(out, tuple):
+            packed, markers, ok, rings, overflow = jax.device_get(out)
+            labels, roi, prob = unpack_planes(packed)
+            return labels, roi, prob, markers, ok, rings, overflow
         return jax.device_get(
             (out.labels, out.roi, out.probably_road, out.markers,
              out.ok, out.num_rings, out.overflow))

@@ -268,6 +268,34 @@ def process_scan_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> S
     return _process_scan_dyn(pts, dyn, static_cfg, dims)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _packed_scan_dyn(pts, dyn, static_cfg, dims):
+    out = process_scan(pts, static_cfg.merge(dyn), dims)
+    packed = (out.labels.astype(jnp.uint8)
+              | (out.roi.astype(jnp.uint8) << 2)
+              | (out.probably_road.astype(jnp.uint8) << 3))
+    return packed, out.markers, out.ok, out.num_rings, out.overflow
+
+
+def packed_scan_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims):
+    """process_scan_jit with the three per-point planes packed into ONE
+    uint8 plane: labels in bits 0-1 ({0,1,2}), roi in bit 2,
+    probably_road in bit 3 — the low-bandwidth wire format for thin
+    streaming hosts.  Per scan the host fetches ~N bytes instead of ~3N
+    (on the ~12 MB/s tunneled dev backend that is ~20 ms less D2H per
+    131k-pt scan, STREAM_r05).  Returns (packed, markers, ok, num_rings,
+    overflow); unpack with unpack_planes.  Same dynamic-config split /
+    no-retrace hot-swap as process_scan_jit."""
+    static_cfg, dyn = cfg.split()
+    return _packed_scan_dyn(pts, dyn, static_cfg, dims)
+
+
+def unpack_planes(packed):
+    """Host-side inverse of packed_scan_jit's plane packing:
+    (labels uint8, roi bool, probably_road bool)."""
+    return packed & 3, (packed & 4) != 0, (packed & 8) != 0
+
+
 def process_batch_jit(pts: jax.Array, cfg: FilterConfig, dims: PipelineDims) -> ScanResult:
     """Batched pipeline — the throughput path (BASELINE config #4).
 
